@@ -99,3 +99,89 @@ def make_reid_problem(rng, num_q=30, num_g=300, num_pids=20, num_cams=4, dim=16)
     gf = centers[g_pids] + rng.randn(num_g, dim)
     dist = ((qf[:, None, :] - gf[None, :, :]) ** 2).sum(-1)
     return dist, q_pids, g_pids, q_camids, g_camids
+
+
+# ---------------------------------------------------------------------------
+# Graph-builder oracle: transcription of the reference's set/bisect/
+# permutations pipeline (dataset_loader.py:218-404)
+# ---------------------------------------------------------------------------
+
+from bisect import bisect_right
+from collections import defaultdict
+from itertools import permutations
+
+
+def graph_oracle(poses, heights, num_split, num_scale, pyramid_part,
+                 threshold=0.1, method="same"):
+    part_names = ["head", "body", "leg"]
+    body_id_dict = {
+        "head": [0, 1, 14, 15, 16, 17],
+        "body": [2, 3, 4, 5, 6, 7],
+        "leg": [8, 9, 10, 11, 12, 13],
+    }
+    part_contain_list = []
+    for pose, H in zip(poses, heights):
+        splits = np.arange(0, H + 1, H / num_split)
+        part_contain = defaultdict(set)
+        for part_name, part_ids in body_id_dict.items():
+            for p_id in part_ids:
+                if pose[p_id, 2] > threshold:
+                    loc = bisect_right(list(splits), pose[p_id, 1])
+                    loc = min(num_split, max(1, loc))
+                    part_contain[part_name].add(loc)
+        for part_name in list(part_contain.keys()):
+            s = part_contain[part_name]
+            if len(s) > 1:
+                part_contain[part_name] = set(range(min(s), max(s) + 1)) | s
+        part_contain_list.append(part_contain)
+
+    seq_len = len(part_contain_list)
+    from agrl_tpu.utils.reidtools import calc_splits
+    num_total_splits = sum(calc_splits(num_split)) if pyramid_part else num_split
+
+    if pyramid_part:
+        k = int(np.log2(num_split))
+        new_list = []
+        for part_contain in part_contain_list:
+            new_pc = {}
+            for part_name, cur_set in part_contain.items():
+                new_set = set(cur_set)
+                for split_id in cur_set:
+                    new_set.update(
+                        int(np.ceil(split_id / np.power(2, i)))
+                        + (np.power(2, k + 1) - np.power(2, k + 1 - i))
+                        for i in range(1, k + 1)
+                    )
+                new_pc[part_name] = new_set
+            new_list.append(defaultdict(set, new_pc))
+        part_contain_list = new_list
+
+    adj = np.zeros((num_total_splits * seq_len, num_total_splits * seq_len))
+    pairs = [[i, i] for i in range(3)]
+    if method == "adjacent":
+        pairs += [[i, i + 1] for i in range(2)]
+    name_pairs = [(part_names[a], part_names[b]) for a, b in pairs]
+    for n0, n1 in name_pairs:
+        related = set()
+        for seq_id in range(seq_len):
+            related.update(
+                sid + seq_id * num_total_splits
+                for sid in part_contain_list[seq_id][n0]
+            )
+            if n0 != n1:
+                related.update(
+                    sid + seq_id * num_total_splits
+                    for sid in part_contain_list[seq_id][n1]
+                )
+        for a, b in permutations(related, 2):
+            adj[a - 1, b - 1] = 1
+
+    if num_scale > 1:
+        size = adj.shape[0]
+        big = np.zeros((num_scale * size, num_scale * size))
+        eye = np.eye(size)
+        for si in range(num_scale):
+            for sj in range(num_scale):
+                big[si*size:(si+1)*size, sj*size:(sj+1)*size] = adj if si == sj else eye
+        adj = big
+    return adj.astype(np.float32)
