@@ -1,0 +1,114 @@
+"""Shared model components: adaptive graph convolution, BNNeck, temporal
+attention fusion.
+
+Parity targets in the reference:
+  * GraphLayer        — torchreid/models/vmgn.py:68-172 (same module is
+    duplicated at gsta.py:66-170). Pose adjacency row-L1-normalized;
+    learned affinity from 'l2' (2 / (exp(pairwise_dist) + 1)) or 'dot'
+    (q/k embeddings of dim in/8) similarity, row-L1-normalized, then
+    AVERAGED with the pose graph; propagate h' = graph @ (W x); BatchNorm
+    over all (batch x vertex) rows; LeakyReLU(0.1); residual
+    (1-gamma) * x + gamma * h'.
+  * BNNeck            — vmgn.py:238-239: BatchNorm1d with the bias frozen
+    at zero (here: use_bias=False, mathematically identical).
+  * temporal attention — vmgn.py:270-278: per-vertex L2 feature norms,
+    L1-normalized over the clip axis, used as fusion weights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+
+# reference _init_params (vmgn.py:137-140): Linear ~ N(0, 0.01)
+graph_linear_init = nn.initializers.normal(stddev=0.01)
+# reference weights_init_classifier (torchtools.py): Linear ~ N(0, 0.001)
+classifier_init = nn.initializers.normal(stddev=0.001)
+
+
+def l1_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize(p=1): x / max(sum|x|, eps)."""
+    denom = jnp.maximum(jnp.sum(jnp.abs(x), axis=axis, keepdims=True), eps)
+    return x / denom
+
+
+def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
+    """Similarity 2 / (exp(pairwise_euclidean) + 1) (vmgn.py:114-120)."""
+    sq = jnp.sum(v * v, axis=2)
+    d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
+        "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
+    )
+    dist = jnp.sqrt(jnp.clip(d2, min=1e-12))
+    return 2.0 / (jnp.exp(dist) + 1.0)
+
+
+class GraphConvLayer(nn.Module):
+    """Adaptive graph convolution with residual learning."""
+
+    in_features: int
+    out_features: int
+    learn_graph: bool = True
+    use_pose: bool = True
+    dist_method: str = "l2"
+    gamma: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        """x: (B, V, C_in); adj: (B, V, V) pose graph. Returns (B, V, C_out)."""
+        assert self.use_pose or self.learn_graph
+        h = nn.Dense(
+            self.out_features, use_bias=False, kernel_init=graph_linear_init, name="linear"
+        )(x)
+        B, V, C = h.shape
+
+        if self.use_pose:
+            adj = l1_normalize(adj, axis=2)
+
+        if self.learn_graph:
+            if self.dist_method == "dot":
+                num_hid = self.in_features // 8
+                q = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_q")(x)
+                k = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_k")(x)
+                sim = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
+            elif self.dist_method == "l2":
+                sim = l2_affinity(x)
+            else:
+                raise NotImplementedError(self.dist_method)
+            graph = l1_normalize(sim, axis=2)
+            if self.use_pose:
+                graph = (adj + graph) / 2.0
+        else:
+            graph = adj
+
+        h_prime = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
+        # BatchNorm over all (B*V) vertex rows, matching BN1d(view(N*V, C))
+        h_prime = BatchNorm(use_running_average=not train, name="bn")(
+            h_prime.reshape(B * V, C)
+        ).reshape(B, V, C)
+        h_prime = nn.leaky_relu(h_prime, negative_slope=0.1)
+
+        return (1.0 - self.gamma) * x + self.gamma * h_prime
+
+
+class BNNeck(nn.Module):
+    """BatchNorm bottleneck with frozen (zero) bias before the classifier."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        return BatchNorm(
+            use_running_average=not train, use_bias=False, name="bn"
+        )(x)
+
+
+def temporal_attention(feat: jnp.ndarray) -> jnp.ndarray:
+    """Norm-driven temporal fusion (vmgn.py:270-278).
+
+    feat: (B, S, P, C) -> (B, P, C); weights = L1-normalized (over S)
+    per-(frame, part) L2 feature norms."""
+    att = jnp.linalg.norm(feat, axis=3, keepdims=True)  # (B,S,P,1)
+    att = l1_normalize(att, axis=1)
+    return jnp.sum(feat * att, axis=1)
