@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -37,10 +38,14 @@ def l1_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
-    """Similarity 2 / (exp(pairwise_euclidean) + 1) (vmgn.py:114-120)."""
+    """Similarity 2 / (exp(pairwise_euclidean) + 1) (vmgn.py:114-120).
+
+    fp32 accumulation: the quadratic form cancels near zero distance and
+    the affinity is sharpest exactly there (V is tiny, cost negligible)."""
     sq = jnp.sum(v * v, axis=2)
     d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
-        "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
+        "bic,bjc->bij", v, v, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     dist = jnp.sqrt(jnp.clip(d2, min=1e-12))
     return 2.0 / (jnp.exp(dist) + 1.0)

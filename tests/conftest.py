@@ -4,7 +4,9 @@ hardware. Must run before jax initializes its backends."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the ambient environment may export JAX_PLATFORMS=axon
+# (remote TPU tunnel); tests must run on local virtual CPU devices
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# the axon TPU plugin prepends itself to jax_platforms even when the env
+# var requests cpu; force the config after import so tests REALLY run on
+# the 8 virtual CPU devices
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: repeated test runs skip XLA recompilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -1,0 +1,185 @@
+"""Optimizer/schedule parity tests: trajectories vs torch optimizers and
+vs the reference AdaBound/RAdam update rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agrl_tpu.optim import init_optim, multistep_lr, per_step, warmup_multistep_lr
+
+torch = pytest.importorskip("torch")
+
+
+def run_optax(opt, x0, grads):
+    params = {"w": jnp.asarray(x0)}
+    state = opt.init(params)
+    traj = []
+    for g in grads:
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        traj.append(np.asarray(params["w"]))
+    return traj
+
+
+def run_torch(optimizer_fn, x0, grads):
+    p = torch.nn.Parameter(torch.tensor(x0))
+    opt = optimizer_fn([p])
+    traj = []
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+        traj.append(p.detach().numpy().copy())
+    return traj
+
+
+def make_problem(n_steps=10, dim=5, seed=0):
+    rng = np.random.RandomState(seed)
+    x0 = rng.randn(dim).astype(np.float32)
+    grads = [rng.randn(dim).astype(np.float32) for _ in range(n_steps)]
+    return x0, grads
+
+
+@pytest.mark.parametrize(
+    "name,torch_fn",
+    [
+        ("adam", lambda ps: torch.optim.Adam(ps, lr=1e-3, weight_decay=5e-4)),
+        ("amsgrad", lambda ps: torch.optim.Adam(ps, lr=1e-3, weight_decay=5e-4, amsgrad=True)),
+        ("sgd", lambda ps: torch.optim.SGD(ps, lr=1e-2, momentum=0.9, weight_decay=5e-4)),
+        (
+            "nesterov",
+            lambda ps: torch.optim.SGD(ps, lr=1e-2, momentum=0.9, weight_decay=5e-4, nesterov=True),
+        ),
+    ],
+)
+def test_trajectory_matches_torch(name, torch_fn):
+    x0, grads = make_problem()
+    lr = 1e-2 if "sgd" in name or name == "nesterov" else 1e-3
+    opt = init_optim(name, lr, weight_decay=5e-4)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(torch_fn, x0, grads)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def test_rmsprop_matches_torch():
+    x0, grads = make_problem()
+    opt = init_optim("rmsprop", 1e-3, weight_decay=5e-4, momentum=0.9)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(
+        lambda ps: torch.optim.RMSprop(ps, lr=1e-3, alpha=0.99, eps=1e-8, weight_decay=5e-4, momentum=0.9),
+        x0,
+        grads,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def reference_adabound_step(x, m, v, g, t, lr, base_lr, wd=0.0, final_lr=0.1,
+                            b1=0.9, b2=0.999, gamma=1e-3, eps=1e-8):
+    """Transcription of the reference AdaBound update (optimizers.py:82-137)."""
+    g = g + wd * x
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * g * g
+    denom = np.sqrt(v) + eps
+    bias1 = 1 - b1**t
+    bias2 = 1 - b2**t
+    step_size = lr * np.sqrt(bias2) / bias1
+    flr = final_lr * lr / base_lr
+    lower = flr * (1 - 1 / (gamma * t + 1))
+    upper = flr * (1 + 1 / (gamma * t))
+    step = np.clip(step_size / denom, lower, upper) * m
+    return x - step, m, v
+
+
+def test_adabound_matches_reference_rule():
+    x0, grads = make_problem(n_steps=8)
+    opt = init_optim("adabound", 1e-3, weight_decay=5e-4)
+    got = run_optax(opt, x0, grads)
+    x, m, v = x0.astype(np.float64), np.zeros_like(x0, np.float64), np.zeros_like(x0, np.float64)
+    for t, g in enumerate(grads, start=1):
+        x, m, v = reference_adabound_step(x, m, v, g.astype(np.float64), t, 1e-3, 1e-3, wd=5e-4)
+        np.testing.assert_allclose(got[t - 1], x, atol=1e-6)
+
+
+def reference_radam_step(x, m, v, g, t, lr, wd=0.0, b1=0.9, b2=0.999, eps=1e-8):
+    """Transcription of the reference RAdam update (optimizers.py:160-209)."""
+    v = b2 * v + (1 - b2) * g * g
+    m = b1 * m + (1 - b1) * g
+    beta2_t = b2**t
+    n_max = 2 / (1 - b2) - 1
+    n_sma = n_max - 2 * t * beta2_t / (1 - beta2_t)
+    if n_sma > 5:
+        step_size = lr * np.sqrt(
+            (1 - beta2_t) * (n_sma - 4) / (n_max - 4) * (n_sma - 2) / n_sma * n_max / (n_max - 2)
+        ) / (1 - b1**t)
+    else:
+        step_size = lr / (1 - b1**t)
+    if wd != 0:
+        x = x - wd * lr * x
+    if n_sma > 4:
+        x = x - step_size * m / (np.sqrt(v) + eps)
+    else:
+        x = x - step_size * m
+    return x, m, v
+
+
+def test_radam_matches_reference_rule():
+    x0, grads = make_problem(n_steps=12)
+    opt = init_optim("radam", 1e-3, weight_decay=5e-4)
+    got = run_optax(opt, x0, grads)
+    x, m, v = x0.astype(np.float64), np.zeros_like(x0, np.float64), np.zeros_like(x0, np.float64)
+    for t, g in enumerate(grads, start=1):
+        x, m, v = reference_radam_step(x, m, v, g.astype(np.float64), t, 1e-3, wd=5e-4)
+        np.testing.assert_allclose(got[t - 1], x, atol=1e-6)
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(KeyError):
+        init_optim("lamb", 1e-3)
+
+
+class TestSchedules:
+    def test_multistep(self):
+        s = multistep_lr(0.1, [50, 100, 150], gamma=0.1)
+        assert s(0) == pytest.approx(0.1)
+        assert s(49) == pytest.approx(0.1)
+        assert s(50) == pytest.approx(0.01)
+        assert s(149) == pytest.approx(0.01 * 0.1)
+        assert s(151) == pytest.approx(0.1 * 0.1**3)
+        # traced variant agrees
+        assert float(s(jnp.asarray(50))) == pytest.approx(0.01)
+
+    def test_warmup_linear(self):
+        s = warmup_multistep_lr(0.1, [100], gamma=0.1, warmup_factor=0.01, warmup_iters=10)
+        assert s(0) == pytest.approx(0.1 * 0.01)
+        # linear interp at epoch 5: factor = 0.01*0.5 + 0.5
+        assert s(5) == pytest.approx(0.1 * (0.01 * 0.5 + 0.5))
+        assert s(10) == pytest.approx(0.1)
+        assert s(100) == pytest.approx(0.01)
+        assert float(s(jnp.asarray(5))) == pytest.approx(0.1 * (0.01 * 0.5 + 0.5))
+
+    def test_warmup_constant(self):
+        s = warmup_multistep_lr(
+            0.1, [100], warmup_factor=0.5, warmup_iters=10, warmup_method="constant"
+        )
+        assert s(3) == pytest.approx(0.05)
+        assert s(10) == pytest.approx(0.1)
+
+    def test_per_step(self):
+        s = per_step(multistep_lr(0.1, [2]), steps_per_epoch=5)
+        assert s(9) == pytest.approx(0.1)
+        assert s(10) == pytest.approx(0.01)
+
+    def test_milestones_must_increase(self):
+        with pytest.raises(ValueError):
+            warmup_multistep_lr(0.1, [100, 50])
+
+    def test_zero_wd_schedule(self):
+        # --zero-wd semantics: weight decay off from a given step
+        x0, grads = make_problem(n_steps=6)
+        wd_fn = lambda step: jnp.where(step < 3, 5e-4, 0.0)  # noqa: E731
+        opt = init_optim("adam", 1e-3, weight_decay=wd_fn)
+        got = run_optax(opt, x0, grads)
+        assert len(got) == 6
