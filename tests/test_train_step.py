@@ -1,0 +1,90 @@
+"""Training-step tests: loss decreases on a tiny overfit problem, and the
+full step runs sharded over an 8-device dp/mp mesh (virtual CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agrl_tpu.engine import create_train_state, make_train_step
+from agrl_tpu.optim import init_optim
+from agrl_tpu.parallel import make_mesh, param_shardings, shard_batch
+
+from .test_models import tiny_vmgn
+
+
+def make_batch(rng, B=8, S=8, H=32, W=32, total_split=7, num_pids=4):
+    x = jnp.asarray(rng.rand(B, S, H, W, 3), jnp.float32)
+    V = S * total_split
+    adj = jnp.asarray((rng.rand(B, V, V) > 0.5).astype(np.float32))
+    pids = jnp.asarray(np.repeat(np.arange(num_pids), B // num_pids))
+    return x, pids, adj
+
+
+def test_loss_decreases_single_device():
+    model = tiny_vmgn()
+    tx = init_optim("adam", 1e-3, weight_decay=0.0)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+    )
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.RandomState(0)
+    x, pids, adj = make_batch(rng)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, x, pids, adj, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_on_8dev_mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(dp=4, mp=2)
+    model = tiny_vmgn()
+    tx = init_optim("adam", 1e-3, weight_decay=5e-4)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+    )
+    # place params according to mp sharding rules, batch over dp
+    shardings = param_shardings(mesh, state.params, min_size=1024)
+    params = jax.device_put(state.params, shardings)
+    state = state.replace(params=params)
+
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.RandomState(0)
+    x, pids, adj = make_batch(rng, B=8)
+    with mesh:
+        xs, pidss, adjs = shard_batch(mesh, x, pids, adj)
+        state, metrics = step(state, xs, pidss, adjs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["top1"]) <= 100.0
+
+
+def test_dp_sharded_matches_replicated():
+    """The sharded step must compute the same numbers as single-device."""
+    model = tiny_vmgn(num_gb=1)
+    tx = init_optim("sgd", 1e-2)
+    state0 = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+    )
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.RandomState(3)
+    x, pids, adj = make_batch(rng, B=8)
+    key = jax.random.PRNGKey(2)
+
+    _, m_single = step(state0, x, pids, adj, key)
+
+    mesh = make_mesh(dp=8, mp=1)
+    with mesh:
+        xs, pidss, adjs = shard_batch(mesh, x, pids, adj)
+        _, m_shard = step(state0, xs, pidss, adjs, key)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m_single["xent_loss"]), float(m_shard["xent_loss"]), rtol=2e-4
+    )
