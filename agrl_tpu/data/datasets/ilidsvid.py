@@ -1,0 +1,93 @@
+"""iLIDS-VID catalog.
+
+Behavioral parity with reference data_manager/ilidsvid.py:22-215:
+  * 300 ids / 600 tracklets / 2 cameras;
+  * 10-fold splits converted once from train_test_splits_ilidsvid.mat to
+    splits.json — indices are 1-based into the SORTED cam1 person dirs;
+    first half of each row is the TEST set (Wang et al. ECCV'14);
+  * query = test ids' cam1 tracklets, gallery = cam2.
+  (Dataset auto-download is intentionally not performed: this environment
+  has no egress; the original tar must be present on disk.)
+"""
+
+from __future__ import annotations
+
+import glob
+import os.path as osp
+
+from agrl_tpu.data.datasets.base import VidReidDataset, scan_two_camera_dirs
+from agrl_tpu.utils.iotools import read_json, write_json
+
+
+class iLIDSVID(VidReidDataset):
+    name = "ilidsvid"
+
+    def __init__(self, root="data", split_id=0, verbose=True, use_pose=True, **kwargs):
+        super().__init__()
+        self.dataset_dir = osp.join(root, "ilids-vid")
+        self.data_dir = osp.join(self.dataset_dir, "i-LIDS-VID")
+        self.split_dir = osp.join(self.dataset_dir, "train-test people splits")
+        self.split_mat_path = osp.join(self.split_dir, "train_test_splits_ilidsvid.mat")
+        self.split_path = osp.join(self.dataset_dir, "splits.json")
+        self.cam_1_path = osp.join(self.data_dir, "sequences/cam1")
+        self.cam_2_path = osp.join(self.data_dir, "sequences/cam2")
+
+        self._require(self.dataset_dir, self.data_dir, self.split_dir)
+        self._load_poses(osp.join(self.dataset_dir, "pose.json"), use_pose)
+        self._prepare_split()
+
+        splits = read_json(self.split_path)
+        if split_id >= len(splits):
+            raise ValueError(
+                f"split_id exceeds range, received {split_id}, "
+                f"but expected between 0 and {len(splits) - 1}"
+            )
+        split = splits[split_id]
+        train_dirs, test_dirs = split["train"], split["test"]
+        print(f"# train identites: {len(train_dirs)}, # test identites {len(test_dirs)}")
+
+        cams = (self.cam_1_path, self.cam_2_path)
+        self.train, _, self.num_train_pids, n_train = scan_two_camera_dirs(
+            train_dirs, cams, (True, True)
+        )
+        self.query, _, self.num_query_pids, n_query = scan_two_camera_dirs(
+            test_dirs, cams, (True, False)
+        )
+        self.gallery, _, self.num_gallery_pids, n_gallery = scan_two_camera_dirs(
+            test_dirs, cams, (False, True)
+        )
+        if verbose:
+            self.print_stats("iLIDS-VID", n_train + n_query + n_gallery)
+
+    def _prepare_split(self):
+        if osp.exists(self.split_path):
+            return
+        from scipy.io import loadmat
+
+        print("Creating splits ...")
+        mat = loadmat(self.split_mat_path)["ls_set"]
+        num_splits, num_total_ids = mat.shape
+        assert num_splits == 10 and num_total_ids == 300
+        half = num_total_ids // 2
+
+        person_dirs = sorted(
+            osp.basename(d) for d in glob.glob(osp.join(self.cam_1_path, "*"))
+        )
+        person_dirs2 = sorted(
+            osp.basename(d) for d in glob.glob(osp.join(self.cam_2_path, "*"))
+        )
+        assert set(person_dirs) == set(person_dirs2), "cam1/cam2 person mismatch"
+
+        splits = []
+        for row in mat:
+            # first 50% test, rest train (Wang et al. ECCV'14); 1-based
+            test_idxs = sorted(int(i) - 1 for i in row[:half])
+            train_idxs = sorted(int(i) - 1 for i in row[half:])
+            splits.append(
+                {
+                    "train": [person_dirs[i] for i in train_idxs],
+                    "test": [person_dirs[i] for i in test_idxs],
+                }
+            )
+        print(f"Totally {len(splits)} splits are created, following Wang et al. ECCV'14")
+        write_json(splits, self.split_path)

@@ -1,0 +1,177 @@
+"""Clip dataset + batched loader with threaded host prefetch.
+
+The host-side analogue of the reference's VideoDataset + torch DataLoader
+(dataset_loader.py:58-215, driver :222-247), restructured for the TPU
+input pipeline: items are assembled as uint8 numpy batches (decode +
+resize only — every other transform runs on device, see
+agrl_tpu.data.transforms), and a thread pool overlaps image IO with
+device compute (the counterpart of `-j` DataLoader workers).
+
+Item contract (parity with dataset_loader.py:83-215):
+  * clip strategies (random/evenly/consecutive/restricted):
+      imgs (S, H, W, 3) u8, pid, camid, adj (V, V)
+  * dense/skipdense: the tracklet folds into n clips:
+      imgs (n, S, H, W, 3), pid, camid, adj (n, V, V) — one graph PER CLIP
+  * enable_pose=False -> all-ones adjacency.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from agrl_tpu.data.graph import GraphBuilder
+from agrl_tpu.data.pose import pose_key_for_path
+from agrl_tpu.data.sampling import sample_clip_indices
+from agrl_tpu.data.transforms import host_decode_resize
+
+
+class VideoClipDataset:
+    """Host-side per-tracklet item assembly."""
+
+    def __init__(
+        self,
+        tracklets: list,
+        seq_len: int = 8,
+        sample: str = "evenly",
+        height: int = 256,
+        width: int = 128,
+        pose_info: dict | None = None,
+        num_split: int = 4,
+        num_parts: int = 3,
+        num_scale: int = 1,
+        pyramid_part: bool = True,
+        enable_pose: bool = True,
+        max_len: int = 1000,
+        key_fn=None,
+    ):
+        self.tracklets = tracklets
+        self.seq_len = seq_len
+        self.sample = sample
+        self.height = height
+        self.width = width
+        self.pose_info = pose_info if pose_info is not None else {}
+        self.max_len = max_len
+        self.graph_builder = GraphBuilder(
+            num_split=num_split,
+            num_parts=num_parts,
+            num_scale=num_scale,
+            pyramid_part=pyramid_part,
+            enable_pose=enable_pose,
+        )
+        self.key_fn = key_fn or pose_key_for_path
+
+    def __len__(self):
+        return len(self.tracklets)
+
+    @property
+    def num_vertices(self):
+        return self.graph_builder.num_vertices(self.seq_len)
+
+    def _clip_adj(self, paths, sizes):
+        if not self.graph_builder.enable_pose:
+            return self.graph_builder.ones(self.seq_len)
+        S = len(paths)
+        poses = np.zeros((S, 18, 3))
+        for i, p in enumerate(paths):
+            try:
+                poses[i] = self.pose_info[self.key_fn(p)][:18]
+            except (KeyError, ValueError):
+                pass  # missing pose -> empty part sets (reference fallback)
+        heights = np.asarray([s[1] for s in sizes], dtype=np.float64)
+        return self.graph_builder(poses, heights)
+
+    def get_item(self, index: int, rng: np.random.RandomState | None = None):
+        img_paths, pid, camid = self.tracklets[index]
+        num = min(len(img_paths), self.max_len)
+        img_paths = img_paths[:num]
+        indices = sample_clip_indices(num, self.seq_len, self.sample, rng, self.max_len)
+
+        chosen = [img_paths[int(i)] for i in indices]
+        imgs, sizes = host_decode_resize(chosen, self.height, self.width)
+
+        if self.sample in ("dense", "skipdense"):
+            n = len(indices) // self.seq_len
+            imgs = imgs.reshape(n, self.seq_len, *imgs.shape[1:])
+            adjs = np.stack(
+                [
+                    self._clip_adj(
+                        chosen[i * self.seq_len : (i + 1) * self.seq_len],
+                        sizes[i * self.seq_len : (i + 1) * self.seq_len],
+                    )
+                    for i in range(n)
+                ]
+            )
+            return imgs, pid, camid, adjs
+        adj = self._clip_adj(chosen, sizes)
+        return imgs, pid, camid, adj
+
+
+class ClipLoader:
+    """Batched iterator with a thread pool for decode parallelism.
+
+    `sampler` yields dataset indices (e.g. RandomIdentitySamplerV1); when
+    None, iterates sequentially (test loaders, driver :239-247)."""
+
+    def __init__(
+        self,
+        dataset: VideoClipDataset,
+        batch_size: int,
+        sampler=None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        seed: int | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idxs = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idxs)
+        return idxs.tolist()
+
+    def __iter__(self):
+        indices = self._indices()
+        nb = len(indices) // self.batch_size
+        rem = len(indices) % self.batch_size
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if rem and not self.drop_last:
+            batches.append(indices[nb * self.batch_size :])
+
+        # per-item rng seeded from the loader stream => reproducible epochs
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for batch_idxs in batches:
+                seeds = self.rng.randint(0, 2**31 - 1, size=len(batch_idxs))
+                items = list(
+                    pool.map(
+                        lambda a: self.dataset.get_item(
+                            a[0], np.random.RandomState(a[1])
+                        ),
+                        zip(batch_idxs, seeds),
+                    )
+                )
+                imgs = np.stack([it[0] for it in items])
+                pids = np.asarray([it[1] for it in items], dtype=np.int32)
+                camids = np.asarray([it[2] for it in items], dtype=np.int32)
+                adjs = np.stack([it[3] for it in items]).astype(np.float32)
+                yield imgs, pids, camids, adjs
