@@ -1,0 +1,379 @@
+"""Training/eval driver — the CLI-compatible counterpart of the
+reference's train_vidreid_xent_htri.py.
+
+Flag surface mirrors the reference parser (train_vidreid_xent_htri.py:
+31-155) so the shipped scripts/*.sh presets invoke 1:1. GPU-device flags
+are accepted for compatibility; placement is controlled by --mesh-dp /
+--mesh-mp over the available TPU chips (jax.sharding.Mesh) instead of
+CUDA_VISIBLE_DEVICES.
+
+Call stack parity (SURVEY.md §3): main() builds dataset -> loaders ->
+model -> losses -> optimizer/scheduler -> (resume | load-weights) ->
+epoch loop with periodic eval + checkpointing; train() prints the same
+meter block; test() prints the same CMC table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from agrl_tpu import models
+    from agrl_tpu.data import datasets as data_manager
+
+    p = argparse.ArgumentParser(description="Train video re-id model with xent + htri losses (TPU)")
+    # Datasets
+    p.add_argument("--root", type=str, default="data")
+    p.add_argument("-d", "--dataset", type=str, default="mars", choices=data_manager.get_names())
+    p.add_argument("-j", "--workers", default=8, type=int)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--seq-len", type=int, default=15)
+    p.add_argument("--split-id", type=int, default=0)
+    p.add_argument("--train-batch", default=32, type=int)
+    p.add_argument("--test-batch", default=5, type=int)
+    p.add_argument("--num-instances", type=int, default=4)
+    p.add_argument("--train-sample", default="restricted",
+                   choices=["evenly", "random", "consecutive", "restricted"])
+    p.add_argument("--test-sample", default="dense",
+                   choices=["evenly", "all", "dense", "skipdense"])
+    p.add_argument("--train-sampler", default="RandomIdentitySampler")
+    # Optimization
+    p.add_argument("--optim", type=str, default="adam")
+    # Loss
+    p.add_argument("--margin", type=float, default=0.3)
+    p.add_argument("--soft-margin", action="store_true")
+    p.add_argument("--lambda-xent", type=float, default=1)
+    p.add_argument("--lambda-htri", type=float, default=1)
+    p.add_argument("--label-smooth", action="store_true")
+    # LR schedule
+    p.add_argument("--max-epoch", default=600, type=int)
+    p.add_argument("--lr", "--learning-rate", default=0.0003, type=float)
+    p.add_argument("--stepsize", default=[200, 400], nargs="+", type=int)
+    p.add_argument("--gamma", default=0.1, type=float)
+    p.add_argument("--weight-decay", default=5e-04, type=float)
+    p.add_argument("--zero-wd", type=int, default=-1)
+    p.add_argument("--warmup", action="store_true")
+    # Architecture
+    p.add_argument("-a", "--arch", type=str, default="vmgn", choices=models.get_names())
+    p.add_argument("--pool", type=str, default="avg", choices=["avg", "max"])
+    p.add_argument("--last-stride", type=int, default=1, choices=[1, 2])
+    p.add_argument("--num-split", type=int, default=4)
+    p.add_argument("--num-parts", type=int, default=3)
+    p.add_argument("--num-gb", type=int, default=2)
+    p.add_argument("--num-scale", type=int, default=1)
+    p.add_argument("--pyramid-part", action="store_true")
+    p.add_argument("--use-pose", action="store_true")
+    p.add_argument("--learn-graph", action="store_true")
+    p.add_argument("--knn", default=16, type=int)
+    p.add_argument("--consistent-loss", action="store_true")
+    p.add_argument("--bnneck", action="store_true")
+    # Augmentation
+    p.add_argument("--flip-aug", action="store_true")
+    p.add_argument("--rand-erase", action="store_true")
+    p.add_argument("--rand-crop", action="store_true")
+    p.add_argument("--misalign-aug", action="store_true")
+    # Visualization
+    p.add_argument("--visualize-ranks", action="store_true")
+    # Post process
+    p.add_argument("--dist-metric", type=str, default="euclidean")
+    p.add_argument("--re-rank", action="store_true")
+    # Checkpoint
+    p.add_argument("--resume", type=str, default="", metavar="PATH")
+    p.add_argument("--load-weights", type=str, default="")
+    # Evaluation
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--eval-step", type=int, default=-1)
+    p.add_argument("--start-eval", type=int, default=0)
+    # Devices (TPU mesh; GPU flags accepted for script compatibility)
+    p.add_argument("--mesh-dp", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--mesh-mp", type=int, default=1, help="model-parallel mesh size")
+    p.add_argument("--use-cpu", action="store_true")
+    p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
+    p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
+    # Misc
+    p.add_argument("--print-freq", type=int, default=200)
+    p.add_argument("--print-last", action="store_true")
+    p.add_argument("--seed", type=int, default=0xFF)
+    p.add_argument("--save-dir", type=str, default="log")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+def run(args):
+    from agrl_tpu import models
+    from agrl_tpu.core import load_checkpoint, load_weights_partial, save_checkpoint
+    from agrl_tpu.data import datasets as data_manager
+    from agrl_tpu.data.loader import ClipLoader, VideoClipDataset
+    from agrl_tpu.data.samplers import init_sampler
+    from agrl_tpu.engine import create_train_state, make_train_step
+    from agrl_tpu.engine.evaluator import Evaluator
+    from agrl_tpu.metrics import accuracy
+    from agrl_tpu.optim import init_optim, multistep_lr, per_step, warmup_multistep_lr
+    from agrl_tpu.parallel import make_mesh, shard_batch
+    from agrl_tpu.utils.avgmeter import AverageMeter
+    from agrl_tpu.utils.logger import Logger, ScalarWriter, cur_time
+    from agrl_tpu.utils.reidtools import visualize_ranked_results
+    from agrl_tpu.utils.model_complexity import count_num_param
+
+    np.random.seed(args.seed)
+    if args.use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    mode = "test" if args.evaluate else "train"
+    stamp = time.strftime("-%Y-%m-%d-%H-%M-%S")
+    sys.stdout = Logger(osp.join(args.save_dir, f"log_{mode}{stamp}.txt"))
+    writer = ScalarWriter(args.save_dir)
+    print(f"==========\nArgs:{args}\n==========")
+    print(f"JAX devices: {jax.devices()}")
+
+    print(f"Initializing dataset {args.dataset}")
+    dataset = data_manager.init_vidreid_dataset(
+        root=args.root, name=args.dataset, split_id=args.split_id, use_pose=args.use_pose
+    )
+
+    ds_kwargs = dict(
+        height=args.height,
+        width=args.width,
+        pose_info=dataset.process_poses,
+        num_split=args.num_split,
+        num_parts=args.num_parts,
+        num_scale=args.num_scale,
+        pyramid_part=args.pyramid_part,
+        enable_pose=args.use_pose,
+    )
+    train_ds = VideoClipDataset(dataset.train, seq_len=args.seq_len, sample=args.train_sample, **ds_kwargs)
+    query_ds = VideoClipDataset(dataset.query, seq_len=args.seq_len, sample=args.test_sample, **ds_kwargs)
+    gallery_ds = VideoClipDataset(dataset.gallery, seq_len=args.seq_len, sample=args.test_sample, **ds_kwargs)
+
+    sampler = init_sampler(
+        args.train_sampler, dataset.train, args.train_batch, args.num_instances, seed=args.seed
+    )
+    trainloader = ClipLoader(
+        train_ds, batch_size=args.train_batch, sampler=sampler,
+        drop_last=True, num_workers=args.workers, seed=args.seed,
+    )
+    # variable-length items (dense/skipdense/all) require per-tracklet batches
+    test_batch = 1 if args.test_sample in ("dense", "skipdense", "all") else args.test_batch
+    queryloader = ClipLoader(query_ds, batch_size=test_batch, num_workers=args.workers)
+    galleryloader = ClipLoader(gallery_ds, batch_size=test_batch, num_workers=args.workers)
+
+    print(f"Initializing model: {args.arch}")
+    model = models.init_model(
+        name=args.arch,
+        num_classes=dataset.num_train_pids,
+        loss={"xent", "htri"},
+        last_stride=args.last_stride,
+        num_parts=args.num_parts,
+        num_scale=args.num_scale,
+        num_split=args.num_split,
+        pyramid_part=args.pyramid_part,
+        num_gb=args.num_gb,
+        use_pose=args.use_pose,
+        learn_graph=args.learn_graph,
+        consistent_loss=args.consistent_loss,
+        bnneck=args.bnneck,
+    )
+
+    # schedules: epoch-indexed like the reference scheduler.step(epoch)
+    steps_per_epoch = max(1, len(trainloader))
+    if args.warmup:
+        lr_epoch = warmup_multistep_lr(
+            args.lr, args.stepsize, gamma=args.gamma, warmup_factor=0.01, warmup_iters=10
+        )
+    else:
+        lr_epoch = multistep_lr(args.lr, args.stepsize, gamma=args.gamma)
+    lr_fn = per_step(lr_epoch, steps_per_epoch)
+    zero_wd_step = args.zero_wd * steps_per_epoch if args.zero_wd > 0 else None
+    if zero_wd_step is not None:
+        wd_fn = lambda step: jnp.where(step >= zero_wd_step, 0.0, args.weight_decay)  # noqa: E731
+    else:
+        wd_fn = args.weight_decay
+    tx = init_optim(args.optim, lr_fn, weight_decay=wd_fn, base_lr=args.lr)
+
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(args.seed),
+        seq_len=args.seq_len, height=args.height, width=args.width, batch_size=2,
+    )
+    print(f"Model size: {count_num_param(state.params):.5f}M")
+
+    from agrl_tpu.utils.iotools import check_isfile
+
+    if args.load_weights and check_isfile(args.load_weights):
+        new_params, matched, skipped = load_weights_partial(state.params, args.load_weights)
+        state = state.replace(params=jax.tree.map(jnp.asarray, new_params))
+        print(f"Loaded pretrained weights from '{args.load_weights}' "
+              f"({len(matched)} matched, {len(skipped)} skipped)")
+
+    start_epoch = 0
+    best_rank1 = -np.inf
+    best_mAP = 0.0
+    if args.resume and check_isfile(args.resume):
+        tmpl = {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+        restored, meta = load_checkpoint(tmpl, args.resume)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray((meta["epoch"] + 1) * steps_per_epoch, jnp.int32),
+        )
+        start_epoch = meta["epoch"] + 1
+        best_rank1 = meta["rank1"]
+        best_mAP = meta["mAP"]
+        print(f"Loaded checkpoint from '{args.resume}'")
+        print(f"- start_epoch: {start_epoch}")
+        print(f"- rank1: {best_rank1}")
+        print(f"- mAP: {best_mAP}")
+
+    # dp must divide the (drop_last) train batch; auto-size via gcd
+    import math
+
+    n_dev = len(jax.devices())
+    auto_dp = max(1, math.gcd(args.train_batch, n_dev // args.mesh_mp))
+    mesh = make_mesh(dp=args.mesh_dp or auto_dp, mp=args.mesh_mp)
+    print(f"Mesh: dp={mesh.shape['dp']} mp={mesh.shape['mp']} (of {n_dev} devices)")
+
+    evaluator = Evaluator(model, test_sample=args.test_sample, pool=args.pool)
+    protocol = "mars"  # the reference driver always scores with evaluate_mars (:531)
+
+    if args.evaluate:
+        print("Evaluate only")
+        distmat = evaluator.evaluate(
+            state.variables(), queryloader, galleryloader,
+            dist_metric=args.dist_metric, re_rank=args.re_rank,
+            metric_protocol=protocol, return_distmat=True,
+        )
+        if args.visualize_ranks:
+            visualize_ranked_results(
+                distmat, dataset.query, dataset.gallery,
+                save_dir=osp.join(args.save_dir, "ranked_results"), topk=20,
+            )
+        return
+
+    aug = dict(
+        flip_aug=args.flip_aug,
+        rand_erase=args.rand_erase,
+        misalign_aug=args.misalign_aug,
+        rand_translate=args.rand_crop,
+    )
+    train_step = make_train_step(
+        model, tx,
+        lambda_xent=args.lambda_xent, lambda_htri=args.lambda_htri,
+        label_smooth=args.label_smooth, margin=args.margin,
+        soft_margin=args.soft_margin, aug=aug, donate=True,
+    )
+
+    print("==> Start training")
+    start_time = time.time()
+    train_time = 0
+    best_epoch = start_epoch
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(start_epoch, args.max_epoch):
+        t0 = time.time()
+        key, epoch_key = jax.random.split(key)
+        state = train_one_epoch(
+            args, epoch, state, train_step, trainloader, mesh, epoch_key, writer, accuracy,
+            AverageMeter, cur_time,
+        )
+        train_time += round(time.time() - t0)
+
+        do_eval = (
+            (epoch + 1) > args.start_eval
+            and args.eval_step > 0
+            and (epoch + 1) % args.eval_step == 0
+        ) or (epoch + 1) == args.max_epoch
+        if do_eval:
+            print("==> Test")
+            rank1, mAP = evaluator.evaluate(
+                state.variables(), queryloader, galleryloader,
+                dist_metric=args.dist_metric, re_rank=args.re_rank,
+                metric_protocol=protocol,
+            )
+            is_best = rank1 > best_rank1
+            if is_best:
+                best_rank1, best_mAP, best_epoch = rank1, mAP, epoch + 1
+            save_checkpoint(
+                {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state},
+                osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack"),
+                epoch=epoch, rank1=float(rank1), mAP=float(mAP), is_best=is_best,
+            )
+            writer.add_scalar("acc/rank1", float(rank1), epoch + 1)
+            writer.add_scalar("acc/mAP", float(mAP), epoch + 1)
+
+    print(f"==> Best Rank-1 {best_rank1:.2%}, mAP: {best_mAP:.2%}, achieved at epoch {best_epoch}")
+    elapsed = str(datetime.timedelta(seconds=round(time.time() - start_time)))
+    print(f"Finished. Total elapsed time (h:m:s): {elapsed}. "
+          f"Training time (h:m:s): {datetime.timedelta(seconds=train_time)}.")
+
+
+def train_one_epoch(
+    args, epoch, state, train_step, trainloader, mesh, key, writer, accuracy,
+    AverageMeter, cur_time,
+):
+    from agrl_tpu.parallel import shard_batch
+
+    xent_losses = AverageMeter()
+    htri_losses = AverageMeter()
+    precisions = AverageMeter()
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+
+    num_batches = len(trainloader)
+    end = time.time()
+    for batch_idx, (imgs, pids, _, adjs) in enumerate(trainloader):
+        data_time.update(time.time() - end)
+        key, step_key = jax.random.split(key)
+        with mesh:
+            imgs_d, pids_d, adjs_d = shard_batch(mesh, imgs, pids.astype(np.int32), adjs)
+            state, metrics = train_step(state, imgs_d, pids_d, adjs_d, step_key)
+        xent = float(metrics["xent_loss"])
+        htri = float(metrics["htri_loss"])
+        top1 = float(metrics["top1"])
+        batch_time.update(time.time() - end)
+
+        bsz = imgs.shape[0]
+        xent_losses.update(xent, bsz)
+        htri_losses.update(htri, bsz)
+        precisions.update(top1)
+
+        if ((batch_idx + 1) % args.print_freq == 0) or (
+            args.print_last and batch_idx == num_batches - 1
+        ):
+            eta_seconds = batch_time.avg * (
+                num_batches - (batch_idx + 1) + (args.max_epoch - (epoch + 1)) * num_batches
+            )
+            eta_str = str(datetime.timedelta(seconds=int(eta_seconds)))
+            print(
+                f"CurTime: {cur_time()}\t"
+                f"Epoch: [{epoch + 1}][{batch_idx + 1}/{num_batches}]\t"
+                f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                f"Speed {bsz / batch_time.avg:.3f} samples/s\t"
+                f"Data {data_time.val:.4f} ({data_time.avg:.4f})\t"
+                f"Xent {xent_losses.val:.4f} ({xent_losses.avg:.4f})\t"
+                f"Htri {htri_losses.val:.4f} ({htri_losses.avg:.4f})\t"
+                f"Top1 {precisions.val:.4f} ({precisions.avg:.4f})\t"
+                f"Eta {eta_str}"
+            )
+        end = time.time()
+
+    writer.add_scalar("loss/xent_loss", xent_losses.avg, epoch + 1)
+    writer.add_scalar("loss/htri_loss", htri_losses.avg, epoch + 1)
+    return state
+
+
+if __name__ == "__main__":
+    main()

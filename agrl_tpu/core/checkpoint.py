@@ -1,0 +1,86 @@
+"""Checkpoint IO — resume vs. transfer semantics.
+
+Parity targets:
+  * save_checkpoint — utils/iotools.py:41-55 + driver :364-370: persists
+    {params, batch_stats, opt_state, epoch, rank1, mAP}; `is_best` also
+    writes a best_model copy.
+  * --resume   — driver :289-315: full state restore (weights + optimizer
+    + start_epoch + best metrics).
+  * --load-weights — driver :279-287: SHAPE-FILTERED partial load: only
+    entries whose path exists in the target with a matching shape are
+    copied (transfer learning across heads/datasets).
+
+Format: msgpack via flax.serialization for the array pytrees + a JSON
+sidecar for scalar metadata. (No torch pickles; a converter for torch
+checkpoints lives in agrl_tpu.models.weight_convert.)
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import shutil
+
+import jax
+import numpy as np
+from flax import serialization, traverse_util
+
+from agrl_tpu.utils.iotools import mkdir_if_missing
+
+
+def save_checkpoint(
+    state_tree,
+    fpath: str,
+    epoch: int,
+    rank1: float = 0.0,
+    mAP: float = 0.0,
+    is_best: bool = False,
+) -> None:
+    """state_tree: any pytree (e.g. {'params': ..., 'batch_stats': ...,
+    'opt_state': ...}). Writes fpath (.msgpack) + fpath.json metadata."""
+    mkdir_if_missing(osp.dirname(fpath))
+    state_tree = jax.tree.map(np.asarray, state_tree)
+    with open(fpath, "wb") as f:
+        f.write(serialization.to_bytes(state_tree))
+    meta = {"epoch": int(epoch), "rank1": float(rank1), "mAP": float(mAP)}
+    with open(fpath + ".json", "w") as f:
+        json.dump(meta, f)
+    if is_best:
+        best = osp.join(osp.dirname(fpath), "best_model.msgpack")
+        shutil.copy(fpath, best)
+        shutil.copy(fpath + ".json", best + ".json")
+
+
+def load_checkpoint(template_tree, fpath: str):
+    """Full restore: returns (state_tree, meta dict). `template_tree` must
+    have the same structure (a freshly created TrainState's pieces)."""
+    with open(fpath, "rb") as f:
+        state = serialization.from_bytes(template_tree, f.read())
+    meta = {"epoch": -1, "rank1": 0.0, "mAP": 0.0}
+    if osp.exists(fpath + ".json"):
+        with open(fpath + ".json") as f:
+            meta.update(json.load(f))
+    return state, meta
+
+
+def load_weights_partial(params, fpath: str, source_key: str = "params"):
+    """Shape-filtered partial weight load (the --load-weights semantics).
+
+    Loads the checkpoint WITHOUT a structure template (raw msgpack dict),
+    then copies every leaf whose flattened path exists in `params` with an
+    identical shape. Returns (new_params, matched, skipped)."""
+    with open(fpath, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if source_key in raw:
+        raw = raw[source_key]
+
+    flat_target = traverse_util.flatten_dict(params)
+    flat_source = traverse_util.flatten_dict(raw)
+    matched, skipped = [], []
+    for path, value in flat_source.items():
+        if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
+            flat_target[path] = np.asarray(value)
+            matched.append("/".join(map(str, path)))
+        else:
+            skipped.append("/".join(map(str, path)))
+    return traverse_util.unflatten_dict(flat_target), matched, skipped

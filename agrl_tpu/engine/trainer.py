@@ -37,8 +37,14 @@ def make_train_step(
     margin: float = 0.3,
     soft_margin: bool = True,
     donate: bool = True,
+    aug: dict | None = None,
 ):
-    """Returns train_step(state, imgs, pids, adj, rng) -> (state, metrics)."""
+    """Returns train_step(state, imgs, pids, adj, rng) -> (state, metrics).
+
+    When `aug` is given (e.g. {'flip_aug': True, 'rand_erase': False}),
+    `imgs` may be the raw uint8 (B, S, H, W, 3) batch: on-device
+    preprocessing + augmentation fuse into the same XLA program as the
+    forward/backward pass."""
     epsilon = 0.1 if label_smooth else 0.0
     xent_fn = partial(cross_entropy_label_smooth, epsilon=epsilon)
     htri_fn = partial(batch_hard_triplet, margin=margin, soft=soft_margin)
@@ -64,6 +70,11 @@ def make_train_step(
         return loss, (mutated["batch_stats"], xent, htri, prec)
 
     def train_step(state: TrainState, imgs, pids, adj, rng):
+        if aug is not None:
+            from agrl_tpu.data.transforms import preprocess_clips
+
+            rng, aug_rng = jax.random.split(rng)
+            imgs = preprocess_clips(imgs, aug_rng, train=True, **aug)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, xent, htri, prec)), grads = grad_fn(
             state.params, state.batch_stats, imgs, pids, adj, rng

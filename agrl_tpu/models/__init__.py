@@ -13,8 +13,26 @@ import jax.numpy as jnp
 
 from agrl_tpu.models.vmgn import VMGN, vmgn
 
+def vmgn_tiny(num_classes, loss={"xent", "htri"}, **kwargs):
+    """Depth-(1,1,1,1) VMGN for tests/smoke runs (not in the reference)."""
+    kwargs.pop("num_scale", None)
+    return VMGN(
+        num_classes=num_classes,
+        loss=frozenset(loss),
+        layers=(1, 1, 1, 1),
+        last_stride=kwargs.pop("last_stride", 1),
+        num_split=kwargs.pop("num_split", 4),
+        pyramid_part=kwargs.pop("pyramid_part", True),
+        num_gb=kwargs.pop("num_gb", 2),
+        use_pose=kwargs.pop("use_pose", True),
+        learn_graph=kwargs.pop("learn_graph", True),
+        consistent_loss=kwargs.pop("consistent_loss", False),
+    )
+
+
 __model_factory = {
     "vmgn": vmgn,  # reference models/vmgn.py:373 (the paper model)
+    "vmgn_tiny": vmgn_tiny,  # debug/smoke-test arch
 }
 
 

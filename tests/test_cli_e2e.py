@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke test: train + eval the tiny VMGN on the synthetic
+dataset through the full driver path (catalog -> sampler -> loader ->
+sharded train step -> evaluator -> checkpoint)."""
+
+import glob
+import os.path as osp
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_train_and_eval(tmp_path):
+    from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
+
+    data_root = str(tmp_path / "data")
+    save_dir = str(tmp_path / "log")
+
+    # materialize the synthetic dataset at this root first
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+
+    init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=4, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 10), height=64, width=32, verbose=False,
+    )
+
+    argv = [
+        "--root", data_root,
+        "-d", "synthetic",
+        "-a", "vmgn_tiny",
+        "--height", "64", "--width", "32",
+        "--seq-len", "4",
+        "--train-batch", "4",
+        "--num-instances", "2",
+        "--train-sample", "restricted",
+        "--train-sampler", "RandomIdentitySamplerV1",
+        "--test-sample", "evenly",
+        "--test-batch", "4",
+        "--optim", "adam",
+        "--lr", "1e-3",
+        "--soft-margin",
+        "--label-smooth",
+        "--max-epoch", "2",
+        "--stepsize", "50",
+        "--eval-step", "2",
+        "--num-split", "4",
+        "--pyramid-part",
+        "--use-pose",
+        "--learn-graph",
+        "--num-gb", "1",
+        "--flip-aug",
+        "--dist-metric", "cosine",
+        "--print-freq", "1",
+        "--save-dir", save_dir,
+        "-j", "2",
+        "--seed", "1",
+    ]
+    stdout = sys.stdout
+    try:
+        args = build_parser().parse_args(argv)
+        run(args)
+    finally:
+        sys.stdout = stdout
+
+    # training log written, checkpoint saved
+    assert glob.glob(osp.join(save_dir, "log_train*.txt"))
+    assert glob.glob(osp.join(save_dir, "checkpoint_ep2.msgpack"))
+    assert glob.glob(osp.join(save_dir, "scalars.jsonl"))
+
+
+@pytest.mark.slow
+def test_cli_evaluate_with_resume(tmp_path):
+    """--evaluate with --load-weights restores a trained checkpoint."""
+    from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+
+    data_root = str(tmp_path / "data")
+    save_dir = str(tmp_path / "log")
+    init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    base = [
+        "--root", data_root, "-d", "synthetic", "-a", "vmgn_tiny",
+        "--height", "64", "--width", "32", "--seq-len", "4",
+        "--train-batch", "4", "--num-instances", "2",
+        "--train-sampler", "RandomIdentitySamplerV1",
+        "--test-sample", "evenly", "--test-batch", "4",
+        "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
+        "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
+    ]
+    stdout = sys.stdout
+    try:
+        run(build_parser().parse_args(base + ["--max-epoch", "1", "--eval-step", "1"]))
+        ckpt = glob.glob(osp.join(save_dir, "checkpoint_ep1.msgpack"))[0]
+        run(build_parser().parse_args(base + ["--evaluate", "--resume", ckpt]))
+    finally:
+        sys.stdout = stdout
