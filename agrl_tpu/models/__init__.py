@@ -11,6 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from agrl_tpu.models.ganet import ganet
+from agrl_tpu.models.graphnet import msppgn, msppn
+from agrl_tpu.models.gsta import gsta
+from agrl_tpu.models.res50tp import res50tp, resnet50_s1
+from agrl_tpu.models.sta import simple_sta_p4, sta_p4
 from agrl_tpu.models.vmgn import VMGN, vmgn
 
 def vmgn_tiny(num_classes, loss={"xent", "htri"}, **kwargs):
@@ -31,8 +36,17 @@ def vmgn_tiny(num_classes, loss={"xent", "htri"}, **kwargs):
 
 
 __model_factory = {
-    "vmgn": vmgn,  # reference models/vmgn.py:373 (the paper model)
-    "vmgn_tiny": vmgn_tiny,  # debug/smoke-test arch
+    # reference factory parity (models/__init__.py:17-27)
+    "vmgn": vmgn,  # models/vmgn.py:373 (the paper model)
+    "gsta": gsta,  # models/gsta.py:340
+    "ganet": ganet,  # models/ganet.py:458
+    "msppn": msppn,  # models/graphnet.py:120
+    "msppgn": msppgn,  # models/graphnet.py:217
+    "sta": sta_p4,  # models/sta.py:268
+    "simple_sta": simple_sta_p4,  # models/simple_sta.py:243
+    "res50tp": res50tp,  # models/res50tp.py:224
+    "resnet50_s1": resnet50_s1,  # models/resnet50_s1.py:217
+    "vmgn_tiny": vmgn_tiny,  # debug/smoke-test arch (not in the reference)
 }
 
 

@@ -195,6 +195,22 @@ class ResNetBackbone(nn.Module):
         return x
 
 
+def adaptive_max_pool_rows(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """torch AdaptiveMaxPool2d((n, 1)) over NHWC: max over W, then max over
+    row bins [floor(i*h/n), ceil((i+1)*h/n)). x: (..., H, W, C) ->
+    (..., n, C). Bin edges are static Python ints (XLA-friendly)."""
+    import numpy as np
+
+    xw = x.max(axis=-2)  # (..., H, C)
+    h = xw.shape[-2]
+    bins = []
+    for i in range(out_size):
+        start = int(np.floor(i * h / out_size))
+        end = int(np.ceil((i + 1) * h / out_size))
+        bins.append(xw[..., start:end, :].max(axis=-2))
+    return jnp.stack(bins, axis=-2)
+
+
 def adaptive_avg_pool_matrix(in_size: int, out_size: int) -> jnp.ndarray:
     """(out_size, in_size) averaging matrix replicating torch's
     AdaptiveAvgPool semantics: bin i averages rows

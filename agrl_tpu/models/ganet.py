@@ -1,0 +1,185 @@
+"""GANet — GSTA variant with per-stripe position attention (PAM) and
+graph-output concatenation.
+
+Behavioral parity with reference torchreid/models/ganet.py:98-477:
+  * pyramid STRIPE SLICING of the feature map (rows h//n per stripe,
+    ganet.py:386-391) — not adaptive pooling;
+  * PAM position attention per stripe; the stripe feature is
+    pam_out + stripe = 2 * stripe + pam_gamma * attention_mask
+    (ganet.py:393-397, PAM returns gamma * mask + x);
+  * the CAM channel-attention module is defined but NOT called in the
+    forward (ganet.py:395 commented out) — provided here as CAM for
+    completeness;
+  * masked GraphLayer (diagonal zeroed before normalization), gamma=0
+    default, ADDITIVE residual (ganet.py:253-274);
+  * outputs of all graph blocks are CONCATENATED -> (num_gb+1)*2048
+    feature -> attention fusion -> one BNNeck/classifier
+    (ganet.py:399-410);
+  * consistent loss drops one random frame per sample.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from agrl_tpu.models.backbone import Bottleneck, ResLayer, ResNetTrunk
+from agrl_tpu.models.gsta import drop_one_frame_per_sample
+from agrl_tpu.models.layers import (
+    BNNeck,
+    GraphConvLayer,
+    classifier_init,
+    temporal_attention,
+)
+from agrl_tpu.utils.reidtools import calc_splits
+
+
+class PAM(nn.Module):
+    """Position attention (ganet.py:98-132): softmax(QK) spatial affinity
+    over the stripe's pixels; returns (gamma * attended + x, attended)."""
+
+    in_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """x: (B, H, W, C) -> (out, attention_mask)."""
+        B, H, W, C = x.shape
+        q = nn.Conv(self.in_dim // 8, (1, 1), name="query_conv")(x).reshape(B, H * W, -1)
+        k = nn.Conv(self.in_dim // 8, (1, 1), name="key_conv")(x).reshape(B, H * W, -1)
+        v = nn.Conv(self.in_dim, (1, 1), name="value_conv")(x).reshape(B, H * W, C)
+        energy = jnp.einsum("bik,bjk->bij", q, k, preferred_element_type=jnp.float32)
+        attention = jax.nn.softmax(energy, axis=-1)
+        # torch: out = bmm(value^T, attention^T) => out[i] = sum_j A[i,j] v[j]
+        out = jnp.einsum("bij,bjc->bic", attention, v).reshape(B, H, W, C)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * out + x, out
+
+
+class CAM(nn.Module):
+    """Channel attention (ganet.py:135-167); defined for parity, unused in
+    GANet's forward like the reference."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        B, H, W, C = x.shape
+        flat = x.reshape(B, H * W, C)
+        energy = jnp.einsum("bnc,bnd->bcd", flat, flat, preferred_element_type=jnp.float32)
+        energy_new = energy.max(axis=-1, keepdims=True) - energy
+        attention = jax.nn.softmax(energy_new, axis=-1)
+        out = jnp.einsum("bcd,bnd->bnc", attention, flat).reshape(B, H, W, C)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * out + x
+
+
+class GANet(nn.Module):
+    num_classes: int
+    loss: frozenset = frozenset({"xent", "htri"})
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_split: int = 4
+    pyramid_part: bool = True
+    num_gb: int = 2
+    use_pose: bool = True
+    learn_graph: bool = True
+    consistent_loss: bool = False
+    feature_dim: int = 2048
+
+    @property
+    def total_split_list(self):
+        return calc_splits(self.num_split) if self.pyramid_part else [self.num_split]
+
+    @property
+    def total_split(self):
+        return sum(self.total_split_list)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
+        B, S, H, W, C = x.shape
+        x = x.reshape(B * S, H, W, C)
+        x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
+        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1, name="layer4")(
+            x, train=train
+        )
+        _, h, w, c = fmap.shape
+
+        pam = PAM(self.feature_dim, name="pam_layer")
+        v_f = []
+        for n in self.total_split_list:
+            step = h // n
+            for i in range(n):
+                stripe = fmap[:, step * i : step * (i + 1)]
+                pam_f, _ = pam(stripe)
+                tmp = pam_f + stripe
+                v_f.append(tmp.mean(axis=(1, 2)))  # (B*S, c)
+        f = jnp.stack(v_f, axis=1).reshape(B, S * self.total_split, c)
+
+        gl_out = [f]
+        for i in range(self.num_gb):
+            gl_out.append(
+                GraphConvLayer(
+                    in_features=self.feature_dim,
+                    out_features=self.feature_dim,
+                    use_pose=self.use_pose,
+                    learn_graph=self.learn_graph,
+                    gamma=0.0,
+                    mask_diag=True,
+                    residual="additive",
+                    name=f"graph_layer_{i}",
+                )(gl_out[-1], adj, train=train)
+            )
+        f = jnp.concatenate(gl_out, axis=2).reshape(
+            B, S, self.total_split, (self.num_gb + 1) * c
+        )
+
+        bottleneck = BNNeck(name="bottleneck")
+        classifier = nn.Dense(
+            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+        )
+
+        f_g = temporal_attention(f).mean(axis=1)
+        bn = bottleneck(f_g, train=train)
+        if not train:
+            return bn
+
+        y = classifier(bn)
+        if self.consistent_loss:
+            sf = drop_one_frame_per_sample(f, self.make_rng("subclip"))
+            sf_g = temporal_attention(sf).mean(axis=1)
+            sy = classifier(bottleneck(sf_g, train=train))
+
+        if self.loss == frozenset({"xent"}):
+            return [y, sy] if self.consistent_loss else y
+        if self.loss == frozenset({"xent", "htri"}):
+            if self.consistent_loss:
+                return [y, sy], [f_g, sf_g]
+            return y, f_g
+        raise KeyError(f"Unsupported loss: {self.loss}")
+
+
+def ganet(
+    num_classes,
+    loss={"xent", "htri"},
+    last_stride=1,
+    num_split=4,
+    num_gb=2,
+    num_scale=1,
+    knn=16,
+    pyramid_part=True,
+    use_pose=True,
+    learn_graph=True,
+    consistent_loss=False,
+    **kwargs,
+):
+    del last_stride, num_scale, knn
+    return GANet(
+        num_classes=num_classes,
+        loss=frozenset(loss),
+        num_split=num_split,
+        pyramid_part=pyramid_part,
+        num_gb=num_gb,
+        use_pose=use_pose,
+        learn_graph=learn_graph,
+        consistent_loss=consistent_loss,
+    )

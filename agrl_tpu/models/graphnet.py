@@ -1,0 +1,216 @@
+"""Multi-scale pyramid-part baselines: MSPPN (no graph) and MSPPGN
+(GraphBlock stack).
+
+Behavioral parity with reference torchreid/models/graphnet.py:120-320:
+  * three feature levels (layer2/3/4) pooled per pyramid scale with
+    avg+max pooling SUMMED, reduced to 512-d (Linear+BN, xavier init);
+  * vertex ordering is SPLIT-MAJOR within each level:
+    (b, s, c, total) -> permute -> (b, total, s, c) -> (b, total*s, c)
+    (graphnet.py:194-200) — note this differs from the frame-major
+    ordering the adjacency builder uses (dataset_loader.py:382): a
+    reference inconsistency preserved here for parity;
+  * per-vertex features averaged over frames; per-vertex classifiers +
+    a Conv1d fusion over the vertex axis (one extra classifier);
+  * MSPPGN inserts num_gb GraphBlocks over the (3 * total_split * S)
+    vertices and CONCATENATES block outputs (graphnet.py:280-300);
+  * eval feature = the fused vector.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from agrl_tpu.models.backbone import (
+    BatchNorm,
+    Bottleneck,
+    ResLayer,
+    ResNetStem,
+    adaptive_avg_pool_matrix,
+    adaptive_max_pool_rows,
+)
+from agrl_tpu.models.layers import GraphBlock
+from agrl_tpu.utils.reidtools import calc_splits
+
+xavier_init = nn.initializers.xavier_normal()
+
+
+class MultiScaleTrunk(nn.Module):
+    """Stem + layer1..4, returning (layer2, layer3, layer4) maps."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = ResNetStem(name="stem")(x, train=train)
+        x = ResLayer(Bottleneck, 64, self.layers[0], name="layer1")(x, train=train)
+        f1 = ResLayer(Bottleneck, 128, self.layers[1], stride=2, name="layer2")(x, train=train)
+        f2 = ResLayer(Bottleneck, 256, self.layers[2], stride=2, name="layer3")(f1, train=train)
+        f3 = ResLayer(Bottleneck, 512, self.layers[3], stride=2, name="layer4")(f2, train=train)
+        return f1, f2, f3
+
+
+def _pool_level(fmap, B, S, total_parts):
+    """avg+max pyramid pooling -> (B, total_split, S, C), split-major."""
+    _, h, w, c = fmap.shape
+    outs = []
+    for n in total_parts:
+        avg = jnp.einsum("nh,bhc->bnc", adaptive_avg_pool_matrix(h, n), fmap.mean(axis=2))
+        mx = adaptive_max_pool_rows(fmap, n)
+        outs.append(avg + mx)  # (B*S, n, c)
+    out = jnp.concatenate(outs, axis=1)  # (B*S, total, c)
+    out = out.reshape(B, S, -1, c).transpose(0, 2, 1, 3)  # (B, total, S, c)
+    return out
+
+
+class _ReduceBN(nn.Module):
+    """Linear reduce to num_hid + vertex BatchNorm (xavier init)."""
+
+    num_hid: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        """x: (B, total, S, C) -> (B, total*S, num_hid)."""
+        B, T, S, _ = x.shape
+        x = nn.Dense(self.num_hid, kernel_init=xavier_init, name="reduce")(x)
+        x = BatchNorm(use_running_average=not train, name="bn")(
+            x.reshape(B * T * S, self.num_hid)
+        )
+        return x.reshape(B, T * S, self.num_hid)
+
+
+class MSPyraPartNet(nn.Module):
+    """msppn: multi-scale pyramid parts, per-vertex classifiers, no graph."""
+
+    num_classes: int
+    loss: frozenset = frozenset({"xent", "htri"})
+    num_split: int = 4
+    num_hid: int = 512
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_gb: int = 0  # unused; signature compatibility
+
+    @property
+    def total_parts(self):
+        return calc_splits(self.num_split)
+
+    @property
+    def total_split(self):
+        return sum(self.total_parts)
+
+    def _vertices(self, x, *, train: bool):
+        B, S, H, W, C = x.shape
+        f1, f2, f3 = MultiScaleTrunk(self.layers, name="trunk")(
+            x.reshape(B * S, H, W, C), train=train
+        )
+        l1 = _ReduceBN(self.num_hid, name="reduce_f1")(
+            _pool_level(f1, B, S, self.total_parts), train=train
+        )
+        l2 = _ReduceBN(self.num_hid, name="reduce_f2")(
+            _pool_level(f2, B, S, self.total_parts), train=train
+        )
+        l3 = _ReduceBN(self.num_hid, name="reduce_f3")(
+            _pool_level(f3, B, S, self.total_parts), train=train
+        )
+        return jnp.concatenate([l1, l2, l3], axis=1), B, S  # (B, 3*total*S, hid)
+
+    @nn.compact
+    def __call__(self, x, adj=None, *, train: bool = False):
+        f, B, S = self._vertices(x, train=train)
+        num_v = 3 * self.total_split
+        vf = f.reshape(B, num_v, S, self.num_hid).mean(axis=2)  # (B, V, hid)
+        return _heads(self, vf, B, num_v, self.num_hid, train)
+
+
+class MSPyraPartGraphNet(nn.Module):
+    """msppgn: msppn + GraphBlock stack, concat of block outputs."""
+
+    num_classes: int
+    loss: frozenset = frozenset({"xent", "htri"})
+    num_split: int = 3
+    num_hid: int = 512
+    num_gb: int = 3
+    use_pose: bool = True
+    learn_graph: bool = True
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @property
+    def total_parts(self):
+        return calc_splits(self.num_split)
+
+    @property
+    def total_split(self):
+        return sum(self.total_parts)
+
+    @nn.compact
+    def __call__(self, x, adj, *, train: bool = False):
+        f, B, S = MSPyraPartNet._vertices(self, x, train=train)
+        gb_out = [f]
+        for i in range(self.num_gb):
+            gb_out.append(
+                GraphBlock(
+                    in_features=self.num_hid,
+                    out_features=self.num_hid,
+                    learn_graph=self.learn_graph,
+                    use_pose=self.use_pose,
+                    name=f"gb_{i}",
+                )(gb_out[-1], adj, train=train)
+            )
+        num_v = 3 * self.total_split
+        dim = (self.num_gb + 1) * self.num_hid
+        f = jnp.stack(gb_out, axis=2).reshape(B, num_v, S, dim).mean(axis=2)
+        return _heads(self, f, B, num_v, dim, train)
+
+
+def _heads(module, vf, B, num_v, dim, train):
+    """Fusion conv + per-vertex classifiers (graphnet.py:160-213, 293-313).
+
+    vf: (B, V, dim). Eval returns the fused feature."""
+    fusion_kernel = module.param(
+        "fusion_conv", xavier_init, (num_v, 1)
+    )  # Conv1d(V -> 1, kernel 1, no bias)
+    fused = jnp.einsum("bvd,vo->bd", vf, fusion_kernel)
+
+    if not train:
+        return fused
+
+    allf = [vf[:, i] for i in range(num_v)] + [fused]
+    ys = []
+    for i in range(num_v):
+        ys.append(
+            nn.Dense(module.num_classes, kernel_init=xavier_init, name=f"classifier_{i}")(
+                vf[:, i]
+            )
+        )
+    ys.append(
+        nn.Dense(module.num_classes, kernel_init=xavier_init, name="classifier_fused")(fused)
+    )
+    if module.loss == frozenset({"xent"}):
+        return ys
+    if module.loss == frozenset({"xent", "htri"}):
+        return ys, allf
+    raise KeyError(f"Unsupported loss: {module.loss}")
+
+
+def msppn(num_classes=100, loss={"xent", "htri"}, num_split=4, **kwargs):
+    return MSPyraPartNet(num_classes=num_classes, loss=frozenset(loss), num_split=num_split)
+
+
+def msppgn(
+    num_classes=100,
+    loss={"xent", "htri"},
+    num_split=3,
+    use_pose=True,
+    learn_graph=True,
+    num_gb=3,
+    **kwargs,
+):
+    return MSPyraPartGraphNet(
+        num_classes=num_classes,
+        loss=frozenset(loss),
+        num_split=num_split,
+        use_pose=use_pose,
+        learn_graph=learn_graph,
+        num_gb=num_gb,
+    )

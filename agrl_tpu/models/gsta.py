@@ -1,0 +1,147 @@
+"""GSTA — single-branch ancestor of VMGN.
+
+Behavioral parity with reference torchreid/models/gsta.py:173-359:
+  * ResNet-50 trunk with layer4 stride hardcoded to 1 (gsta.py:191);
+  * pyramid part pooling -> (B, S * total_split, 2048) vertices -> num_gb
+    adaptive graph layers -> temporal attention -> mean over parts ->
+    one BNNeck + classifier;
+  * eval feature = the 2048-d bottleneck output (gsta.py:309-310);
+  * consistent loss drops ONE random frame PER SAMPLE (per-batch-element
+    indices, gsta.py:295-307) and reuses the same head;
+  * train returns ([y, sy], [f_g, sf_g]) with consistent loss, else
+    (y, f_g).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from agrl_tpu.models.backbone import (
+    Bottleneck,
+    ResLayer,
+    ResNetTrunk,
+    adaptive_avg_pool_matrix,
+)
+from agrl_tpu.models.layers import (
+    BNNeck,
+    GraphConvLayer,
+    classifier_init,
+    temporal_attention,
+)
+from agrl_tpu.utils.reidtools import calc_splits
+
+
+def drop_one_frame_per_sample(f: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """(B, S, P, C) -> (B, S-1, P, C): per sample, remove one random frame
+    keeping temporal order (gsta.py:297-303)."""
+    B, S = f.shape[0], f.shape[1]
+    drop = jax.random.randint(key, (B,), 0, S)  # frame to remove per sample
+    base = jnp.arange(S - 1)[None, :]  # (1, S-1)
+    idx = base + (base >= drop[:, None])  # skip the dropped frame
+    return jnp.take_along_axis(f, idx[:, :, None, None], axis=1)
+
+
+class GSTA(nn.Module):
+    num_classes: int
+    loss: frozenset = frozenset({"xent", "htri"})
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_split: int = 4
+    pyramid_part: bool = True
+    num_gb: int = 2
+    use_pose: bool = True
+    learn_graph: bool = True
+    consistent_loss: bool = False
+    dist_method: str = "l2"
+    feature_dim: int = 2048
+
+    @property
+    def total_split_list(self):
+        return calc_splits(self.num_split) if self.pyramid_part else [self.num_split]
+
+    @property
+    def total_split(self):
+        return sum(self.total_split_list)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
+        B, S, H, W, C = x.shape
+        x = x.reshape(B * S, H, W, C)
+        x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
+        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1, name="layer4")(
+            x, train=train
+        )
+        _, h, w, c = fmap.shape
+
+        fw = fmap.mean(axis=2)  # pool width
+        v_parts = [
+            jnp.einsum("nh,bhc->bnc", adaptive_avg_pool_matrix(h, n), fw)
+            for n in self.total_split_list
+        ]
+        f = jnp.concatenate(v_parts, axis=1).reshape(B, S * self.total_split, c)
+
+        for i in range(self.num_gb):
+            f = GraphConvLayer(
+                in_features=self.feature_dim,
+                out_features=self.feature_dim,
+                use_pose=self.use_pose,
+                learn_graph=self.learn_graph,
+                dist_method=self.dist_method,
+                name=f"graph_layer_{i}",
+            )(f, adj, train=train)
+        f = f.reshape(B, S, self.total_split, c)
+
+        bottleneck = BNNeck(name="bottleneck")
+        classifier = nn.Dense(
+            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+        )
+
+        f_g = temporal_attention(f).mean(axis=1)
+        bn = bottleneck(f_g, train=train)
+
+        if not train:
+            return bn
+
+        y = classifier(bn)
+        if self.consistent_loss:
+            sf = drop_one_frame_per_sample(f, self.make_rng("subclip"))
+            sf_g = temporal_attention(sf).mean(axis=1)
+            sy = classifier(bottleneck(sf_g, train=train))
+
+        if self.loss == frozenset({"xent"}):
+            return [y, sy] if self.consistent_loss else y
+        if self.loss == frozenset({"xent", "htri"}):
+            if self.consistent_loss:
+                return [y, sy], [f_g, sf_g]
+            return y, f_g
+        raise KeyError(f"Unsupported loss: {self.loss}")
+
+
+def gsta(
+    num_classes,
+    loss={"xent", "htri"},
+    last_stride=1,
+    num_split=4,
+    num_gb=2,
+    num_scale=1,
+    pyramid_part=True,
+    use_pose=True,
+    learn_graph=True,
+    consistent_loss=False,
+    **kwargs,
+):
+    del last_stride, num_scale  # layer4 stride hardcoded 1 (gsta.py:191)
+    return GSTA(
+        num_classes=num_classes,
+        loss=frozenset(loss),
+        layers=(3, 4, 6, 3),
+        num_split=num_split,
+        pyramid_part=pyramid_part,
+        num_gb=num_gb,
+        use_pose=use_pose,
+        learn_graph=learn_graph,
+        consistent_loss=consistent_loss,
+    )

@@ -52,7 +52,15 @@ def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
 
 
 class GraphConvLayer(nn.Module):
-    """Adaptive graph convolution with residual learning."""
+    """Adaptive graph convolution with residual learning.
+
+    Two reference variants are covered by flags:
+      * vmgn/gsta GraphLayer (vmgn.py:68-172): no diagonal mask, gamma=0.1,
+        convex residual (1-gamma) * x + gamma * h'.
+      * ganet GraphLayer (ganet.py:170-274): zeroed diagonals on both the
+        pose adj and the learned affinity BEFORE row normalization,
+        gamma=0 default, additive residual x + gamma * h'.
+    """
 
     in_features: int
     out_features: int
@@ -60,6 +68,8 @@ class GraphConvLayer(nn.Module):
     use_pose: bool = True
     dist_method: str = "l2"
     gamma: float = 0.1
+    mask_diag: bool = False
+    residual: str = "convex"  # 'convex' | 'additive'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -69,8 +79,11 @@ class GraphConvLayer(nn.Module):
             self.out_features, use_bias=False, kernel_init=graph_linear_init, name="linear"
         )(x)
         B, V, C = h.shape
+        mask = 1.0 - jnp.eye(V) if self.mask_diag else None
 
         if self.use_pose:
+            if mask is not None:
+                adj = adj * mask
             adj = l1_normalize(adj, axis=2)
 
         if self.learn_graph:
@@ -83,6 +96,8 @@ class GraphConvLayer(nn.Module):
                 sim = l2_affinity(x)
             else:
                 raise NotImplementedError(self.dist_method)
+            if mask is not None:
+                sim = sim * mask
             graph = l1_normalize(sim, axis=2)
             if self.use_pose:
                 graph = (adj + graph) / 2.0
@@ -96,7 +111,57 @@ class GraphConvLayer(nn.Module):
         ).reshape(B, V, C)
         h_prime = nn.leaky_relu(h_prime, negative_slope=0.1)
 
-        return (1.0 - self.gamma) * x + self.gamma * h_prime
+        if self.residual == "convex":
+            return (1.0 - self.gamma) * x + self.gamma * h_prime
+        return x + self.gamma * h_prime
+
+
+class GraphBlock(nn.Module):
+    """graphnet.py:58-117 variant: softmax dot affinity (128-d embeddings
+    with bias), blend (adj + gamma * graph) / (1 + gamma), relu BEFORE the
+    vertex BatchNorm, additive residual x + alpha * h'."""
+
+    in_features: int
+    out_features: int
+    alpha: float = 1.0
+    gamma: float = 1.0
+    learn_graph: bool = True
+    use_pose: bool = True
+    self_loop: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        h = nn.Dense(
+            self.out_features, use_bias=False, kernel_init=classifier_init, name="linear"
+        )(x)
+        B, V, C = h.shape
+
+        if self.use_pose:
+            adj = l1_normalize(adj, axis=2)
+        if self.learn_graph:
+            q = nn.Dense(128, kernel_init=classifier_init, name="emb_q")(h)
+            k = nn.Dense(128, kernel_init=classifier_init, name="emb_k")(h)
+            graph = jax.nn.softmax(
+                jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32),
+                axis=2,
+            )
+            if self.self_loop:
+                graph = jax.nn.softmax(graph + jnp.eye(V)[None], axis=2)
+            if self.use_pose:
+                graph = (adj + self.gamma * graph) / (1.0 + self.gamma)
+        else:
+            graph = adj
+
+        h_prime = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
+        if self.dropout > 0 and train:
+            h_prime = nn.Dropout(self.dropout, deterministic=not train)(h_prime)
+        h_prime = nn.relu(h_prime)
+        h_prime = BatchNorm(use_running_average=not train, name="bn")(
+            h_prime.reshape(B * V, C)
+        ).reshape(B, V, C)
+        assert x.shape == h_prime.shape, "skip connection needs equal sizes"
+        return x + self.alpha * h_prime
 
 
 class BNNeck(nn.Module):

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Evaluation-only preset; pass --load-weights/--resume for your checkpoint.
+python train_vidreid_xent_htri.py -d dukemtmcvidreid \
+    -a vmgn --evaluate --seq-len 8 --test-sample evenly \
+    --num-split 4 --pyramid-part --num-gb 2 --use-pose --learn-graph \
+    --dist-metric cosine \
+    --load-weights saved-models/dukev/model_dukev.msgpack \
+    --save-dir log/dukev "$@"
