@@ -1,0 +1,179 @@
+"""Fused adaptive graph-convolution inference kernel (Pallas TPU).
+
+The VMGN hot op (reference vmgn.py:142-172) is, per clip:
+    h      = f @ W                         (V x C @ C x C matmul — MXU)
+    A      = row_l1(adj)                   (pose graph)
+    S      = row_l1(2 / (exp(pdist(f)) + 1))  (learned affinity)
+    G      = (A + S) / 2
+    h'     = G @ h
+    out    = (1 - gamma) * f + gamma * lrelu(bn(h'))
+
+This kernel fuses the whole chain for the INFERENCE path (eval-mode BN
+with running statistics): one pass over f per weight tile, with W kept in
+HBM and streamed through VMEM in double-buffered column tiles — the
+(V, V) affinity matrices and the h tiles never round-trip to HBM.
+Training uses the jnp module (XLA fusion + autodiff).
+
+Measured on TPU v5e-1 (B=16, V=56, C=2048): this kernel runs ~0.8 ms vs
+~0.6 ms for the XLA-fused jnp path — at production shapes the op is
+latency-bound and XLA's single (B*V, C) x (C, C) matmul reads W once,
+while the per-clip grid here re-streams W per program. The kernel is kept
+as the parity-tested fused-inference alternative (and the template for a
+multi-clip-per-program variant); the model's default path is the jnp one.
+
+Shapes: f (B, V, C), adj (B, V, V), W (C, C). V is padded to the sublane
+multiple on entry; a validity mask keeps the affinity row-normalization
+identical to the unpadded computation.
+
+`graph_propagate_reference` is the jnp twin used for parity tests (it is
+also numerically identical to GraphConvLayer's eval path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN_EPS = 1e-5
+
+
+def _row_l1(x, eps=1e-12):
+    return x / jnp.maximum(jnp.sum(jnp.abs(x), axis=-1, keepdims=True), eps)
+
+
+def graph_propagate_reference(f, adj, W, scale, bias, mean, var, gamma=0.1):
+    """jnp oracle: (B, V, C) -> (B, V, C), eval-mode BN."""
+    h = jnp.einsum("bvc,cd->bvd", f, W, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    adj_n = _row_l1(adj)
+    sq = jnp.sum(f * f, axis=2)
+    d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
+        "bic,bjc->bij", f, f, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    sim = 2.0 / (jnp.exp(jnp.sqrt(jnp.clip(d2, min=1e-12))) + 1.0)
+    graph = (adj_n + _row_l1(sim)) / 2.0
+    hp = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
+    hp = (hp - mean) / jnp.sqrt(var + BN_EPS) * scale + bias
+    hp = jnp.where(hp >= 0, hp, 0.1 * hp)
+    return (1.0 - gamma) * f + gamma * hp
+
+
+def _kernel(v_real_ref, f_ref, adj_ref, bn_ref, w_hbm, out_ref, w_buf, dma_sems):
+    """One program = one clip; W streamed in column tiles from HBM."""
+    V = f_ref.shape[0]
+    C = f_ref.shape[1]
+    CT = w_buf.shape[2]  # weight tile width
+    n_tiles = C // CT
+    v_real = v_real_ref[0]
+
+    f = f_ref[:]  # (V, C) fp32 in VMEM
+    # validity masks via 2-D iota (bool transposes are not Mosaic-legal)
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) < v_real
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (V, V), 1) < v_real
+    mask = row_ok & col_ok
+
+    # ---- blended propagation graph (computed once) ----
+    adj = jnp.where(mask, adj_ref[:], 0.0)
+    adj_n = adj / jnp.maximum(jnp.sum(jnp.abs(adj), axis=1, keepdims=True), 1e-12)
+
+    sq = jnp.sum(f * f, axis=1, keepdims=True)  # (V, 1)
+    gram = jnp.dot(f, f.T, preferred_element_type=jnp.float32)
+    d2 = sq + jnp.transpose(sq) - 2.0 * gram
+    sim = 2.0 / (jnp.exp(jnp.sqrt(jnp.maximum(d2, 1e-12))) + 1.0)
+    sim = jnp.where(mask, sim, 0.0)  # pad rows/cols contribute 0
+    sim_n = sim / jnp.maximum(jnp.sum(jnp.abs(sim), axis=1, keepdims=True), 1e-12)
+    graph = (adj_n + sim_n) * 0.5  # (V, V)
+
+    gamma = bn_ref[4, 0]
+
+    def get_dma(slot, t):
+        return pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(t * CT, CT)], w_buf.at[slot], dma_sems.at[slot]
+        )
+
+    get_dma(0, 0).start()
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            get_dma((t + 1) % 2, t + 1).start()
+
+        get_dma(slot, t).wait()
+        w_t = w_buf[slot]  # (C, CT)
+        h_t = jnp.dot(f, w_t, preferred_element_type=jnp.float32)  # (V, CT)
+        hp_t = jnp.dot(graph, h_t, preferred_element_type=jnp.float32)
+        # eval-mode BN on this channel tile + LeakyReLU(0.1)
+        sl = pl.ds(t * CT, CT)
+        scale = bn_ref[0, sl][None, :]
+        bias = bn_ref[1, sl][None, :]
+        mean = bn_ref[2, sl][None, :]
+        var = bn_ref[3, sl][None, :]
+        hp_t = (hp_t - mean) * jax.lax.rsqrt(var + BN_EPS) * scale + bias
+        hp_t = jnp.where(hp_t >= 0, hp_t, 0.1 * hp_t)
+        f_t = f_ref[:, sl]  # ref-read supports dynamic slicing
+        out_ref[:, sl] = (1.0 - gamma) * f_t + gamma * hp_t
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+
+
+@partial(jax.jit, static_argnames=("weight_tile", "interpret"))
+def graph_propagate_pallas(
+    f, adj, W, scale, bias, mean, var, gamma=0.1, weight_tile=512, interpret=False
+):
+    """Fused inference graph conv. f: (B, V, C); W: (C, C). Returns (B, V, C)."""
+    B, V, C = f.shape
+    assert C % weight_tile == 0
+    # pad V to the lane multiple: the (V, V) affinity block's LAST dim
+    # must be 128-aligned for Mosaic
+    V_pad = -(-V // 128) * 128
+    if V_pad != V:
+        f = jnp.pad(f, ((0, 0), (0, V_pad - V), (0, 0)))
+        adj = jnp.pad(adj, ((0, 0), (0, V_pad - V), (0, V_pad - V)))
+
+    bn_pack = jnp.stack(
+        [scale, bias, mean, var, jnp.full((C,), gamma, jnp.float32)]
+    ).astype(jnp.float32)  # (5, C)
+    v_real = jnp.full((1,), V, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, V_pad, C), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, V_pad, V_pad), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((5, C), lambda b, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # W stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, V_pad, C), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, weight_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(v_real_ref, f_ref, adj_ref, bn_ref, w_hbm, out_ref, w_buf, sems):
+        _kernel(
+            v_real_ref,
+            f_ref.at[0],
+            adj_ref.at[0],
+            bn_ref,
+            w_hbm,
+            out_ref.at[0],
+            w_buf,
+            sems,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, V_pad, C), jnp.float32),
+        interpret=interpret,
+    )(v_real, f.astype(jnp.float32), adj.astype(jnp.float32), bn_pack, W.astype(jnp.float32))
+    return out[:, :V]

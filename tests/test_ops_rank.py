@@ -1,0 +1,77 @@
+"""Device ranking parity vs the NumPy metric implementations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agrl_tpu.metrics.distance import compute_distance_matrix
+from agrl_tpu.metrics.rank import eval_market1501, evaluate_mars
+from agrl_tpu.ops.rank import (
+    evaluate_mars_device,
+    market1501_cmc_map,
+    streaming_topk,
+)
+
+
+def make_features(rng, num_q=25, num_g=310, num_pids=15, num_cams=4, dim=32):
+    centers = rng.randn(num_pids, dim) * 3
+    q_pids = rng.randint(0, num_pids, num_q)
+    g_pids = rng.randint(0, num_pids, num_g)
+    q_cams = rng.randint(0, num_cams, num_q)
+    g_cams = rng.randint(0, num_cams, num_g)
+    qf = (centers[q_pids] + rng.randn(num_q, dim)).astype(np.float32)
+    gf = (centers[g_pids] + rng.randn(num_g, dim)).astype(np.float32)
+    return qf, gf, q_pids, g_pids, q_cams, g_cams
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_streaming_topk_matches_argsort(metric, rng):
+    qf, gf, *_ = make_features(rng)
+    dists, idx = streaming_topk(qf, gf, k=20, tile=64, metric=metric)
+    dm = compute_distance_matrix(qf, gf, metric)
+    want_idx = np.argsort(dm, axis=1)[:, :20]
+    want_d = np.take_along_axis(dm, want_idx, axis=1)
+    # distances must match; indices may differ on exact ties only
+    np.testing.assert_allclose(np.asarray(dists), want_d, rtol=1e-4, atol=1e-4)
+    agree = (np.asarray(idx) == want_idx).mean()
+    assert agree > 0.99
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_mars_device_parity(seed, metric):
+    rng = np.random.RandomState(seed)
+    qf, gf, qp, gp, qc, gc = make_features(rng)
+    cmc_d, map_d = evaluate_mars_device(
+        jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc,
+        max_rank=50, metric=metric, tile=128,
+    )
+    dm = compute_distance_matrix(qf, gf, metric)
+    cmc_o, map_o = evaluate_mars(dm, qp, gp, qc, gc, max_rank=50)
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-6)
+    np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
+
+
+def test_mars_device_with_junk_pids():
+    rng = np.random.RandomState(5)
+    qf, gf, qp, gp, qc, gc = make_features(rng, num_g=200)
+    gp = gp.copy()
+    gp[rng.rand(len(gp)) < 0.15] = -1
+    cmc_d, map_d = evaluate_mars_device(
+        jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc, metric="euclidean", tile=64
+    )
+    dm = compute_distance_matrix(qf, gf, "euclidean")
+    cmc_o, map_o = evaluate_mars(dm, qp, gp, qc, gc)
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-6)
+    np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_market1501_device_parity(seed):
+    rng = np.random.RandomState(seed)
+    qf, gf, qp, gp, qc, gc = make_features(rng)
+    dm = compute_distance_matrix(qf, gf, "euclidean").astype(np.float32)
+    cmc_d, map_d = market1501_cmc_map(jnp.asarray(dm), qp, gp, qc, gc, max_rank=50)
+    cmc_o, map_o = eval_market1501(dm, qp, gp, qc, gc, max_rank=50)
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-5)
+    np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
