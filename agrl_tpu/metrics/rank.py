@@ -319,8 +319,27 @@ def evaluate_rank(
     use_metric_market1501=False,
     use_metric_mars=False,
     use_metric_dukev=False,
+    use_native=True,
 ):
-    """Dispatcher mirroring reference torchreid/metrics/rank.py:215-238."""
+    """Dispatcher mirroring reference torchreid/metrics/rank.py:215-238.
+
+    Like the reference preferring its Cython extension, the mars and
+    market1501 protocols dispatch to the C++ extension
+    (native/librank_eval.so, bound in agrl_tpu.metrics.rank_native) when
+    it is built; otherwise the vectorized NumPy paths run. Fully on-device
+    evaluation lives in agrl_tpu.ops.rank."""
+    if use_native:
+        from agrl_tpu.metrics import rank_native
+
+        if rank_native.IS_NATIVE_AVAILABLE:
+            if use_metric_mars:
+                return rank_native.evaluate_mars_native(
+                    distmat, q_pids, g_pids, q_camids, g_camids, max_rank
+                )
+            if use_metric_market1501:
+                return rank_native.evaluate_market1501_native(
+                    distmat, q_pids, g_pids, q_camids, g_camids, max_rank
+                )
     if use_metric_cuhk03:
         return eval_cuhk03(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     if use_metric_market1501:

@@ -1,0 +1,184 @@
+"""torch -> Flax weight conversion for AGRL checkpoints and torchvision
+ResNets.
+
+The reference ships .pth.tar checkpoints (test scripts load them via
+--load-weights, e.g. scripts/test_vidreid_xent_htri_vmgn_mars.sh) and
+initializes backbones from torchvision ImageNet weights
+(vmgn.py:360-370). This module maps those state dicts onto the Flax
+module trees defined in agrl_tpu.models:
+
+  * conv kernels: torch OIHW -> flax HWIO;
+  * linear kernels: torch (out, in) -> flax (in, out);
+  * BatchNorm: weight/bias -> scale/bias (params), running_mean/var ->
+    mean/var (batch_stats); BNNeck layers drop the frozen zero bias;
+  * name mapping reference GSTA -> VMGN module tree (conv1/bn1/layerX ->
+    trunk/stem|layerX/blockN/..., layer4_1/2, bottlenecks, classifiers,
+    graph_layers.{i} -> graph_layer_{i}).
+
+Unmatched or shape-mismatched entries are skipped and reported —
+the same partial-load semantics as --load-weights
+(train_vidreid_xent_htri.py:279-287).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from flax import traverse_util
+
+
+def _to_numpy(t):
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _split_torch_name(name: str):
+    """reference module path -> (flax path tuple, collection, transform).
+
+    Returns None for entries with no Flax counterpart (num_batches_tracked,
+    frozen BNNeck biases)."""
+    name = re.sub(r"^module\.", "", name)
+    parts = name.split(".")
+
+    def bn(prefix, leaf):
+        if leaf == "weight":
+            return prefix + ("scale",), "params", None
+        if leaf == "bias":
+            return prefix + ("bias",), "params", None
+        if leaf == "running_mean":
+            return prefix + ("mean",), "batch_stats", None
+        if leaf == "running_var":
+            return prefix + ("var",), "batch_stats", None
+        return None  # num_batches_tracked
+
+    # stem
+    if parts[0] == "conv1" and parts[1] == "weight":
+        return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
+    if parts[0] == "bn1":
+        return bn(("trunk", "stem", "bn1"), parts[1])
+
+    # residual stages: layer1..3 under trunk; layer4 / layer4_1 / layer4_2 top level
+    m = re.match(r"^layer(\d)(_\d)?$", parts[0])
+    if m:
+        stage = parts[0]
+        prefix = ("trunk", stage) if stage in ("layer1", "layer2", "layer3") else (stage,)
+        block = (f"block{parts[1]}",)
+        rest = parts[2:]
+        if rest[0] in ("conv1", "conv2", "conv3") and rest[1] == "weight":
+            return prefix + block + (rest[0], "kernel"), "params", "conv"
+        if rest[0] in ("bn1", "bn2", "bn3"):
+            return bn(prefix + block + (rest[0],), rest[1])
+        if rest[0] == "downsample":
+            if rest[1] == "0" and rest[2] == "weight":
+                return prefix + block + ("downsample_conv", "kernel"), "params", "conv"
+            if rest[1] == "1":
+                return bn(prefix + block + ("downsample_bn",), rest[2])
+        return None
+
+    # bottleneck BNs (BNNeck: frozen zero bias has no Flax param)
+    for tname, fname in (
+        ("global_bottleneck", "global_bottleneck"),
+        ("att_bottleneck", "att_bottleneck"),
+        ("bottleneck", "bottleneck"),
+    ):
+        if parts[0] == tname:
+            if parts[1] == "bias":
+                return None  # frozen at zero; BNNeck uses use_bias=False
+            return bn((fname, "bn"), parts[1])
+
+    # classifiers
+    for tname, fname in (
+        ("global_classifier", "global_classifier"),
+        ("att_classifier", "att_classifier"),
+        ("classifier", "classifier"),
+    ):
+        if parts[0] == tname:
+            if parts[1] == "weight":
+                return (fname, "kernel"), "params", "linear"
+            if parts[1] == "bias":
+                return (fname, "bias"), "params", None
+
+    # graph layers: graph_layers.{i}.linear|bn|emb_q|emb_k
+    m = re.match(r"^graph_layers$", parts[0])
+    if m:
+        i = parts[1]
+        sub = parts[2]
+        prefix = (f"graph_layer_{i}",)
+        if sub == "linear" and parts[3] == "weight":
+            return prefix + ("linear", "kernel"), "params", "linear"
+        if sub in ("emb_q", "emb_k"):
+            if parts[3] == "weight":
+                return prefix + (sub, "kernel"), "params", "linear"
+            return prefix + (sub, "bias"), "params", None
+        if sub == "bn":
+            return bn(prefix + ("bn",), parts[3])
+    return None
+
+
+def _transform(arr: np.ndarray, kind):
+    if kind == "conv":
+        return arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if kind == "linear":
+        return arr.T  # (out, in) -> (in, out)
+    return arr
+
+
+def convert_torch_state_dict(state_dict: dict):
+    """torch state_dict -> {'params': tree, 'batch_stats': tree} (numpy)."""
+    params, batch_stats, skipped = {}, {}, []
+    for name, value in state_dict.items():
+        mapped = _split_torch_name(name)
+        if mapped is None:
+            if not name.endswith("num_batches_tracked") and not name.endswith(
+                "bottleneck.bias"
+            ):
+                skipped.append(name)
+            continue
+        path, collection, kind = mapped
+        arr = _transform(_to_numpy(value), kind)
+        (params if collection == "params" else batch_stats)[path] = arr
+    return (
+        {
+            "params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(batch_stats),
+        },
+        skipped,
+    )
+
+
+def merge_converted(variables, converted):
+    """Shape-filtered merge of a converted tree into model variables.
+
+    Returns (new_variables, matched_paths, skipped_paths)."""
+    matched, skipped = [], []
+    new_vars = {}
+    for collection in variables:
+        flat_target = traverse_util.flatten_dict(variables[collection])
+        flat_source = traverse_util.flatten_dict(converted.get(collection, {}))
+        for path, value in flat_source.items():
+            if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
+                flat_target[path] = np.asarray(value, dtype=np.float32)
+                matched.append(f"{collection}/" + "/".join(map(str, path)))
+            else:
+                skipped.append(f"{collection}/" + "/".join(map(str, path)))
+        new_vars[collection] = traverse_util.unflatten_dict(flat_target)
+    return new_vars, matched, skipped
+
+
+def load_torch_checkpoint(variables, fpath: str, key: str = "state_dict"):
+    """Load a reference .pth(.tar) checkpoint into Flax variables.
+
+    Requires torch (CPU) for unpickling; returns (variables, matched,
+    skipped)."""
+    import torch
+
+    ckpt = torch.load(fpath, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get(key, ckpt) if isinstance(ckpt, dict) else ckpt
+    converted, unmapped = convert_torch_state_dict(state_dict)
+    new_vars, matched, skipped = merge_converted(variables, converted)
+    if unmapped:
+        print(f"(no Flax counterpart for {len(unmapped)} torch entries, e.g. {unmapped[:3]})")
+    return new_vars, matched, skipped

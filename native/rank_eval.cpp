@@ -1,0 +1,160 @@
+// Native CMC/mAP ranking — C++ counterpart of the reference's Cython
+// extension (torchreid/metrics/rank_cylib/rank_cy.pyx). Role parity: the
+// per-query ranking walks are the host-side hot loop of evaluation; this
+// implementation keeps them cache-friendly C++ with OpenMP over queries.
+// (On-device evaluation lives in agrl_tpu/ops/rank.py; this extension is
+// the host fast path for CPU-only runs and for protocols that need the
+// full ranking.)
+//
+// Exposed C ABI (ctypes; see agrl_tpu/metrics/rank_native.py):
+//   evaluate_mars_c       — MARS protocol (rank.py:160-212 semantics)
+//   evaluate_market1501_c — market1501 protocol (rank.py:95-150 semantics)
+// Both take the (Q, G) float32 distance matrix, int64 pid/camid arrays,
+// and write per-query CMC rows and APs; averaging happens in Python.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+// indices of the ranking (ascending distance) for one query row
+inline void argsort_row(const float* row, int64_t g, std::vector<int32_t>& idx) {
+  idx.resize(g);
+  std::iota(idx.begin(), idx.end(), 0);
+  std::stable_sort(idx.begin(), idx.end(),
+                   [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+}
+
+// partial top-k ranking (enough for truncated protocols)
+inline void argtopk_row(const float* row, int64_t g, int64_t k,
+                        std::vector<int32_t>& idx) {
+  idx.resize(g);
+  std::iota(idx.begin(), idx.end(), 0);
+  if (k < g) {
+    std::partial_sort(idx.begin(), idx.begin() + k, idx.end(),
+                      [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+    idx.resize(k);
+  } else {
+    std::stable_sort(idx.begin(), idx.end(),
+                     [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// MARS protocol: good = same pid & different cam; junk = pid == -1 or
+// same pid & same cam; ranking truncated to max_rank BEFORE scoring;
+// trapezoid AP with the full-gallery good count as recall denominator.
+void evaluate_mars_c(const float* distmat, const int64_t* q_pids,
+                     const int64_t* g_pids, const int64_t* q_camids,
+                     const int64_t* g_camids, int64_t num_q, int64_t num_g,
+                     int64_t max_rank, float* out_cmc /* (Q, max_rank) */,
+                     float* out_ap /* (Q,) */) {
+  const int64_t rank_len = std::min(max_rank, num_g);
+#pragma omp parallel
+  {
+    std::vector<int32_t> order;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < num_q; ++q) {
+      const float* row = distmat + q * num_g;
+      const int64_t qp = q_pids[q];
+      const int64_t qc = q_camids[q];
+
+      int64_t ngood = 0;
+      for (int64_t g = 0; g < num_g; ++g)
+        if (g_pids[g] == qp && g_camids[g] != qc) ++ngood;
+
+      argtopk_row(row, num_g, rank_len, order);
+
+      float* cmc = out_cmc + q * max_rank;
+      std::memset(cmc, 0, sizeof(float) * max_rank);
+
+      double ap = 0.0, old_recall = 0.0, old_precision = 1.0;
+      int64_t intersect = 0, j = 0, njunk = 0;
+      bool found_first_good = false;
+      for (int64_t n = 0; n < rank_len; ++n) {
+        const int64_t g = order[n];
+        const bool good = (g_pids[g] == qp && g_camids[g] != qc);
+        const bool junk = (g_pids[g] == -1) || (g_pids[g] == qp && g_camids[g] == qc);
+        if (good && !found_first_good) {
+          for (int64_t r = n - njunk; r < max_rank; ++r) cmc[r] = 1.0f;
+          found_first_good = true;
+        }
+        if (junk) {
+          ++njunk;
+          continue;
+        }
+        if (good) ++intersect;
+        if (ngood > 0) {
+          const double recall = double(intersect) / double(ngood);
+          const double precision = double(intersect) / double(j + 1);
+          ap += (recall - old_recall) * (old_precision + precision) / 2.0;
+          old_recall = recall;
+          old_precision = precision;
+        }
+        ++j;
+        if (intersect == ngood) break;  // reference early exit
+      }
+      out_ap[q] = float(ap);
+    }
+  }
+}
+
+// market1501 protocol: drop same-pid+same-cam entries; CMC = clipped
+// cumsum; AP = mean precision at match positions over the FULL kept
+// ranking. out_valid[q] = 0 marks queries with no kept match (excluded
+// from averages by the caller).
+void evaluate_market1501_c(const float* distmat, const int64_t* q_pids,
+                           const int64_t* g_pids, const int64_t* q_camids,
+                           const int64_t* g_camids, int64_t num_q,
+                           int64_t num_g, int64_t max_rank,
+                           float* out_cmc /* (Q, max_rank) */,
+                           float* out_ap /* (Q,) */,
+                           uint8_t* out_valid /* (Q,) */) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> order;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < num_q; ++q) {
+      const float* row = distmat + q * num_g;
+      const int64_t qp = q_pids[q];
+      const int64_t qc = q_camids[q];
+      argsort_row(row, num_g, order);
+
+      float* cmc = out_cmc + q * max_rank;
+      std::memset(cmc, 0, sizeof(float) * max_rank);
+
+      int64_t kept = 0, matches = 0;
+      double prec_sum = 0.0;
+      int64_t first_match_rank = -1;
+      for (int64_t n = 0; n < num_g; ++n) {
+        const int64_t g = order[n];
+        const bool match = g_pids[g] == qp;
+        if (match && g_camids[g] == qc) continue;  // removed entry
+        const bool good = match;
+        ++kept;
+        if (good) {
+          ++matches;
+          prec_sum += double(matches) / double(kept);
+          if (first_match_rank < 0) first_match_rank = kept - 1;
+        }
+      }
+      if (matches == 0) {
+        out_valid[q] = 0;
+        out_ap[q] = 0.0f;
+        continue;
+      }
+      out_valid[q] = 1;
+      out_ap[q] = float(prec_sum / double(matches));
+      for (int64_t r = std::min(first_match_rank, max_rank); r < max_rank; ++r)
+        cmc[r] = 1.0f;
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,70 @@
+"""Native C++ ranking extension parity + speed sanity vs NumPy oracles."""
+
+import time
+
+import numpy as np
+import pytest
+
+from agrl_tpu.metrics.rank import eval_market1501, evaluate_mars, evaluate_rank
+from agrl_tpu.metrics import rank_native
+
+from .oracles import make_reid_problem
+
+pytestmark = pytest.mark.skipif(
+    not rank_native.IS_NATIVE_AVAILABLE,
+    reason="librank_eval.so not built (make -C native)",
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mars_native_parity(seed):
+    rng = np.random.RandomState(seed)
+    dist, qp, gp, qc, gc = make_reid_problem(rng)
+    cmc_n, map_n = rank_native.evaluate_mars_native(dist, qp, gp, qc, gc, 50)
+    cmc_o, map_o = evaluate_mars(dist, qp, gp, qc, gc, 50)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-6)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+def test_mars_native_with_junk():
+    rng = np.random.RandomState(7)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_g=250)
+    gp = gp.copy()
+    gp[rng.rand(len(gp)) < 0.1] = -1
+    cmc_n, map_n = rank_native.evaluate_mars_native(dist, qp, gp, qc, gc, 50)
+    cmc_o, map_o = evaluate_mars(dist, qp, gp, qc, gc, 50)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-6)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_market1501_native_parity(seed):
+    rng = np.random.RandomState(seed)
+    dist, qp, gp, qc, gc = make_reid_problem(rng)
+    cmc_n, map_n = rank_native.evaluate_market1501_native(dist, qp, gp, qc, gc, 50)
+    cmc_o, map_o = eval_market1501(dist, qp, gp, qc, gc, 50)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-6)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+def test_dispatcher_prefers_native():
+    rng = np.random.RandomState(0)
+    dist, qp, gp, qc, gc = make_reid_problem(rng)
+    cmc_a, map_a = evaluate_rank(dist, qp, gp, qc, gc, use_metric_mars=True, use_native=True)
+    cmc_b, map_b = evaluate_rank(dist, qp, gp, qc, gc, use_metric_mars=True, use_native=False)
+    np.testing.assert_allclose(cmc_a, cmc_b, atol=1e-6)
+    np.testing.assert_allclose(map_a, map_b, atol=1e-6)
+
+
+def test_mars_scale_speed():
+    """MARS-size ranking (1980 x 9330) should beat the reference's ~4 s."""
+    rng = np.random.RandomState(0)
+    dist = rng.rand(1980, 9330).astype(np.float32)
+    qp = rng.randint(0, 625, 1980)
+    gp = rng.randint(0, 625, 9330)
+    qc = rng.randint(0, 6, 1980)
+    gc = rng.randint(0, 6, 9330)
+    t0 = time.perf_counter()
+    rank_native.evaluate_mars_native(dist, qp, gp, qc, gc, 50)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"native mars ranking took {dt:.2f}s"
