@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     # Devices (TPU mesh; GPU flags accepted for script compatibility)
     p.add_argument("--mesh-dp", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh-mp", type=int, default=1, help="model-parallel mesh size")
+    p.add_argument("--bf16-eval", action="store_true",
+                   help="bfloat16 feature extraction (~1.5x faster, ~3e-4 feature error)")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax profiler trace of one train epoch into this dir")
     p.add_argument("--use-cpu", action="store_true")
     p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
     p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
@@ -246,7 +250,9 @@ def run(args):
     mesh = make_mesh(dp=args.mesh_dp or auto_dp, mp=args.mesh_mp)
     print(f"Mesh: dp={mesh.shape['dp']} mp={mesh.shape['mp']} (of {n_dev} devices)")
 
-    evaluator = Evaluator(model, test_sample=args.test_sample, pool=args.pool)
+    evaluator = Evaluator(
+        model, test_sample=args.test_sample, pool=args.pool, bf16=args.bf16_eval
+    )
     protocol = "mars"  # the reference driver always scores with evaluate_mars (:531)
 
     if args.evaluate:
@@ -285,10 +291,19 @@ def run(args):
     for epoch in range(start_epoch, args.max_epoch):
         t0 = time.time()
         key, epoch_key = jax.random.split(key)
-        state = train_one_epoch(
-            args, epoch, state, train_step, trainloader, mesh, epoch_key, writer, accuracy,
-            AverageMeter, cur_time,
-        )
+        if args.profile_dir and epoch == start_epoch:
+            from agrl_tpu.utils.profiling import trace
+
+            with trace(args.profile_dir):
+                state = train_one_epoch(
+                    args, epoch, state, train_step, trainloader, mesh, epoch_key,
+                    writer, accuracy, AverageMeter, cur_time,
+                )
+        else:
+            state = train_one_epoch(
+                args, epoch, state, train_step, trainloader, mesh, epoch_key, writer,
+                accuracy, AverageMeter, cur_time,
+            )
         train_time += round(time.time() - t0)
 
         do_eval = (
