@@ -15,6 +15,14 @@ from agrl_tpu.models.ganet import ganet
 from agrl_tpu.models.graphnet import msppgn, msppn
 from agrl_tpu.models.gsta import gsta
 from agrl_tpu.models.res50tp import res50tp, resnet50_s1
+from agrl_tpu.models.resnet3d import resnet3d, resnet3dt
+from agrl_tpu.models.resnet_image import (
+    resnet50_image,
+    resnet50b,
+    resnet50m,
+    resnet101_image,
+)
+from agrl_tpu.models.resnet_temporal import res50rnn, res50ta, res50tp_legacy
 from agrl_tpu.models.sta import simple_sta_p4, sta_p4
 from agrl_tpu.models.vmgn import VMGN, vmgn
 
@@ -47,6 +55,17 @@ __model_factory = {
     "res50tp": res50tp,  # models/res50tp.py:224
     "resnet50_s1": resnet50_s1,  # models/resnet50_s1.py:217
     "vmgn_tiny": vmgn_tiny,  # debug/smoke-test arch (not in the reference)
+    # legacy families (present in the reference codebase but unregistered
+    # there — models/resnet.py, resnet_temporal.py, resnet3d.py, resnet3dt.py)
+    "resnet50": resnet50_image,
+    "resnet101": resnet101_image,
+    "resnet50m": resnet50m,
+    "resnet50b": resnet50b,
+    "res50tp_legacy": res50tp_legacy,
+    "res50ta": res50ta,
+    "res50rnn": res50rnn,
+    "resnet3d50": resnet3d,
+    "resnet3dt": resnet3dt,
 }
 
 
