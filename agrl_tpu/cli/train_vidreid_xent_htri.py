@@ -176,6 +176,7 @@ def run(args):
     galleryloader = ClipLoader(gallery_ds, batch_size=test_batch, num_workers=args.workers)
 
     print(f"Initializing model: {args.arch}")
+    _copy_model_source(args.arch, args.save_dir)
     model = models.init_model(
         name=args.arch,
         num_classes=dataset.num_train_pids,
@@ -333,6 +334,25 @@ def run(args):
     elapsed = str(datetime.timedelta(seconds=round(time.time() - start_time)))
     print(f"Finished. Total elapsed time (h:m:s): {elapsed}. "
           f"Training time (h:m:s): {datetime.timedelta(seconds=train_time)}.")
+
+
+def _copy_model_source(arch: str, save_dir: str) -> None:
+    """Copy the architecture's source file into save_dir for provenance
+    (reference models/__init__.py:37-40)."""
+    import importlib
+    import shutil
+
+    from agrl_tpu.utils.iotools import mkdir_if_missing
+
+    try:
+        from agrl_tpu import models as _m
+
+        builder = _m.init_model.__globals__["__model_factory"][arch]
+        module = importlib.import_module(builder.__module__)
+        mkdir_if_missing(save_dir)
+        shutil.copy(module.__file__, save_dir)
+    except Exception as e:  # provenance is best-effort
+        print(f"(model source copy skipped: {e})")
 
 
 def train_one_epoch(

@@ -28,6 +28,25 @@ from agrl_tpu.data.sampling import sample_clip_indices
 from agrl_tpu.data.transforms import host_decode_resize
 
 
+class ImageDataset:
+    """Image re-id dataset (parity: dataset_loader.py:39-55): items are
+    single (img, pid, camid) records; decode+resize on host, device-side
+    transforms apply downstream."""
+
+    def __init__(self, dataset: list, height: int = 256, width: int = 128):
+        self.dataset = dataset
+        self.height = height
+        self.width = width
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def get_item(self, index: int, rng=None):
+        img_path, pid, camid = self.dataset[index]
+        imgs, _ = host_decode_resize([img_path], self.height, self.width)
+        return imgs[0], pid, camid
+
+
 class VideoClipDataset:
     """Host-side per-tracklet item assembly."""
 

@@ -112,13 +112,43 @@ class Evaluator:
         ranks=(1, 5, 10, 20),
         metric_protocol: str = "mars",
         return_distmat: bool = False,
+        device_rank: bool = True,
+        mesh=None,
     ):
         qf, q_pids, q_camids, bt_q = self.extract(variables, queryloader, "query")
         gf, g_pids, g_camids, bt_g = self.extract(variables, galleryloader, "gallery")
 
+        # fast path: MARS protocol fully on device (streaming top-k +
+        # masked-cumsum CMC/mAP) — no (Q, G) matrix on host. Re-ranking
+        # and distmat export need the full matrix, so they fall through.
+        if device_rank and metric_protocol == "mars" and not re_rank and not return_distmat:
+            from agrl_tpu.ops.rank import evaluate_mars_device
+
+            print("Computing CMC and mAP on device")
+            cmc_d, map_d = evaluate_mars_device(
+                jnp.asarray(qf), jnp.asarray(gf),
+                q_pids, g_pids, q_camids, g_camids, metric=dist_metric,
+            )
+            cmc, mAP = np.asarray(cmc_d), float(map_d)
+            print("Results ----------")
+            print(f"mAP: {mAP:.2%}")
+            print("CMC curve")
+            for r in ranks:
+                print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
+            print("------------------")
+            return cmc[0], mAP
+
         print(f"Computing distance matrix with metric={dist_metric} ...")
-        dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
-        distmat = np.asarray(dist_fn(jnp.asarray(qf), jnp.asarray(gf)))
+        if mesh is not None:
+            from agrl_tpu.ops.distmat import sharded_distmat
+
+            with mesh:
+                distmat = np.asarray(
+                    sharded_distmat(mesh, jnp.asarray(qf), jnp.asarray(gf), dist_metric)
+                )
+        else:
+            dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
+            distmat = np.asarray(dist_fn(jnp.asarray(qf), jnp.asarray(gf)))
 
         if re_rank:
             print("Applying person re-ranking ...")
