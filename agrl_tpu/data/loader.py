@@ -194,3 +194,34 @@ class ClipLoader:
                 camids = np.asarray([it[2] for it in items], dtype=np.int32)
                 adjs = np.stack([it[3] for it in items]).astype(np.float32)
                 yield imgs, pids, camids, adjs
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Wraps a batch iterator: up to `size` upcoming batches are device_put
+    (optionally with a sharding) while the current step runs — the JAX
+    equivalent of DataLoader's pin_memory+workers overlap."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return tuple(jax.device_put(a, s) for a, s in zip(batch, sharding))
+        return tuple(jax.device_put(a) for a in batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

@@ -50,13 +50,14 @@ def make_train_step(
     htri_fn = partial(batch_hard_triplet, margin=margin, soft=soft_margin)
 
     def loss_fn(params, batch_stats, imgs, pids, adj, rng):
+        r_sub, r_drop = jax.random.split(rng)
         (outputs, features), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs,
             adj,
             train=True,
             mutable=["batch_stats"],
-            rngs={"subclip": rng},
+            rngs={"subclip": r_sub, "dropout": r_drop},
         )
         xent = deep_supervision(xent_fn, outputs, pids)
         htri = deep_supervision(htri_fn, features, pids)

@@ -78,6 +78,31 @@ def main():
     _ = (float(mAP), np.asarray(cmc))
     rank_s = time.perf_counter() - t0
 
+    # ---- training throughput (reference: 89.744 clips/s on 4x TITAN X) ----
+    from agrl_tpu.engine import create_train_state, make_train_step
+    from agrl_tpu.optim import init_optim
+
+    train_model = VMGN(
+        num_classes=625, num_split=4, pyramid_part=True, num_gb=2, consistent_loss=True
+    )
+    tx = init_optim("adam", 1e-4, weight_decay=5e-4)
+    state = create_train_state(
+        train_model, tx, jax.random.PRNGKey(0), seq_len=S, height=H, width=W, batch_size=2
+    )
+    TB = 16  # the paper config batch
+    xu8 = jnp.asarray(rng.randint(0, 256, (TB, S, H, W, 3)), jnp.uint8)
+    adj_t = jnp.asarray((rng.rand(TB, V, V) > 0.5).astype(np.float32))
+    pids = jnp.asarray(np.repeat(np.arange(4), 4))
+    jax.block_until_ready((state.params, xu8, adj_t))
+    step = make_train_step(train_model, tx, aug=dict(flip_aug=True), donate=False)
+    state, m = step(state, xu8, pids, adj_t, jax.random.PRNGKey(1))
+    _ = float(m["loss"])  # compile + sync
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, m = step(state, xu8, pids, adj_t, jax.random.PRNGKey(i))
+    _ = float(m["loss"])
+    train_clips_per_sec = TB / ((time.perf_counter() - t0) / 10)
+
     result = {
         "metric": "mars_eval_clips_per_sec_single_chip",
         "value": round(clips_per_sec, 2),
@@ -86,6 +111,8 @@ def main():
         "extract_ms_per_batch64_bf16": round(extract_s * 1e3, 2),
         "device_distmat_plus_rank_s": round(rank_s, 4),
         "rank_vs_baseline": round(BASELINE_RANK_S / rank_s, 1),
+        "train_clips_per_sec": round(train_clips_per_sec, 1),
+        "train_vs_baseline": round(train_clips_per_sec / 89.744, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
