@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-mp", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--bf16-eval", action="store_true",
                    help="bfloat16 feature extraction (~1.5x faster, ~3e-4 feature error)")
+    p.add_argument("--bf16-train", action="store_true",
+                   help="mixed-precision training: bf16 conv backbone, f32 params/"
+                        "graph/losses (~1.6x faster; vmgn family)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax profiler trace of one train epoch into this dir")
     p.add_argument("--use-cpu", action="store_true")
@@ -191,6 +194,7 @@ def run(args):
         learn_graph=args.learn_graph,
         consistent_loss=args.consistent_loss,
         bnneck=args.bnneck,
+        dtype=jnp.bfloat16 if args.bf16_train else jnp.float32,
     )
 
     # schedules: epoch-indexed like the reference scheduler.step(epoch)

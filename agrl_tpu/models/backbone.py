@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 from functools import partial
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -36,13 +37,14 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        norm = partial(BatchNorm, use_running_average=not train)
+        norm = partial(BatchNorm, use_running_average=not train, dtype=self.dtype)
         residual = x
 
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=conv_kaiming, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=conv_kaiming, dtype=self.dtype, name="conv1")(x)
         out = norm(name="bn1")(out)
         out = nn.relu(out)
 
@@ -53,13 +55,15 @@ class Bottleneck(nn.Module):
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             kernel_init=conv_kaiming,
+            dtype=self.dtype,
             name="conv2",
         )(out)
         out = norm(name="bn2")(out)
         out = nn.relu(out)
 
         out = nn.Conv(
-            self.planes * self.expansion, (1, 1), use_bias=False, kernel_init=conv_kaiming, name="conv3"
+            self.planes * self.expansion, (1, 1), use_bias=False,
+            kernel_init=conv_kaiming, dtype=self.dtype, name="conv3"
         )(out)
         out = norm(name="bn3")(out)
 
@@ -70,6 +74,7 @@ class Bottleneck(nn.Module):
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 kernel_init=conv_kaiming,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             residual = norm(name="downsample_bn")(residual)
@@ -84,10 +89,11 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        norm = partial(BatchNorm, use_running_average=not train)
+        norm = partial(BatchNorm, use_running_average=not train, dtype=self.dtype)
         residual = x
         out = nn.Conv(
             self.planes,
@@ -96,12 +102,14 @@ class BasicBlock(nn.Module):
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             kernel_init=conv_kaiming,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         out = norm(name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, kernel_init=conv_kaiming, name="conv2"
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            kernel_init=conv_kaiming, dtype=self.dtype, name="conv2"
         )(out)
         out = norm(name="bn2")(out)
         if self.downsample:
@@ -111,6 +119,7 @@ class BasicBlock(nn.Module):
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 kernel_init=conv_kaiming,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             residual = norm(name="downsample_bn")(residual)
@@ -125,21 +134,25 @@ class ResLayer(nn.Module):
     blocks: int
     stride: int = 1
     in_planes: int = 0  # for downsample decision
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         expansion = self.block.expansion
         needs_down = self.stride != 1 or x.shape[-1] != self.planes * expansion
         x = self.block(
-            self.planes, stride=self.stride, downsample=needs_down, name="block0"
+            self.planes, stride=self.stride, downsample=needs_down,
+            dtype=self.dtype, name="block0"
         )(x, train=train)
         for i in range(1, self.blocks):
-            x = self.block(self.planes, name=f"block{i}")(x, train=train)
+            x = self.block(self.planes, dtype=self.dtype, name=f"block{i}")(x, train=train)
         return x
 
 
 class ResNetStem(nn.Module):
     """conv7x7/2 + BN + relu + maxpool3x3/2."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -150,9 +163,10 @@ class ResNetStem(nn.Module):
             padding=[(3, 3), (3, 3)],
             use_bias=False,
             kernel_init=conv_kaiming,
+            dtype=self.dtype,
             name="conv1",
         )(x)
-        x = BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         x = nn.max_pool(
@@ -166,13 +180,14 @@ class ResNetTrunk(nn.Module):
 
     block: type = Bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = ResNetStem(name="stem")(x, train=train)
-        x = ResLayer(self.block, 64, self.layers[0], name="layer1")(x, train=train)
-        x = ResLayer(self.block, 128, self.layers[1], stride=2, name="layer2")(x, train=train)
-        x = ResLayer(self.block, 256, self.layers[2], stride=2, name="layer3")(x, train=train)
+        x = ResNetStem(dtype=self.dtype, name="stem")(x, train=train)
+        x = ResLayer(self.block, 64, self.layers[0], dtype=self.dtype, name="layer1")(x, train=train)
+        x = ResLayer(self.block, 128, self.layers[1], stride=2, dtype=self.dtype, name="layer2")(x, train=train)
+        x = ResLayer(self.block, 256, self.layers[2], stride=2, dtype=self.dtype, name="layer3")(x, train=train)
         return x
 
 
@@ -185,13 +200,13 @@ class ResNetBackbone(nn.Module):
     block: type = Bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)
     last_stride: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = ResNetTrunk(self.block, self.layers, name="trunk")(x, train=train)
-        x = ResLayer(self.block, 512, self.layers[3], stride=self.last_stride, name="layer4")(
-            x, train=train
-        )
+        x = ResNetTrunk(self.block, self.layers, dtype=self.dtype, name="trunk")(x, train=train)
+        x = ResLayer(self.block, 512, self.layers[3], stride=self.last_stride,
+                     dtype=self.dtype, name="layer4")(x, train=train)
         return x
 
 

@@ -28,6 +28,7 @@ averaging matrix (adaptive-pool parity without ragged windows).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,9 @@ class VMGN(nn.Module):
     consistent_loss: bool = False
     dist_method: str = "l2"
     feature_dim: int = 2048
+    # mixed precision: compute dtype for the conv backbone (~97% of FLOPs);
+    # params stay f32, graph layers / heads / losses run f32
+    dtype: Any = jnp.float32
 
     @property
     def total_split_list(self):
@@ -74,15 +78,17 @@ class VMGN(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
         """x: (B, S, H, W, 3) float; adj: (B, V, V), V = S * total_split."""
         B, S, H, W, C = x.shape
-        x = x.reshape(B * S, H, W, C)
+        x = x.reshape(B * S, H, W, C).astype(self.dtype)
 
-        x3 = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
-        x4_1 = ResLayer(Bottleneck, 512, self.layers[3], stride=self.last_stride, name="layer4_1")(
-            x3, train=train
+        x3 = ResNetTrunk(Bottleneck, self.layers, dtype=self.dtype, name="trunk")(
+            x, train=train
         )
-        x4_2 = ResLayer(Bottleneck, 512, self.layers[3], stride=self.last_stride, name="layer4_2")(
-            x3, train=train
-        )
+        x4_1 = ResLayer(Bottleneck, 512, self.layers[3], stride=self.last_stride,
+                        dtype=self.dtype, name="layer4_1")(x3, train=train)
+        x4_2 = ResLayer(Bottleneck, 512, self.layers[3], stride=self.last_stride,
+                        dtype=self.dtype, name="layer4_2")(x3, train=train)
+        x4_1 = x4_1.astype(jnp.float32)
+        x4_2 = x4_2.astype(jnp.float32)
         _, h, w, c = x4_1.shape
 
         # ---- global branch ----
@@ -162,6 +168,7 @@ def vmgn(
     use_pose=True,
     learn_graph=True,
     consistent_loss=False,
+    dtype=jnp.float32,
     **kwargs,
 ):
     """Factory matching the reference builder signature (vmgn.py:373-390)."""
@@ -177,4 +184,5 @@ def vmgn(
         use_pose=use_pose,
         learn_graph=learn_graph,
         consistent_loss=consistent_loss,
+        dtype=dtype,
     )

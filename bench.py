@@ -83,7 +83,8 @@ def main():
     from agrl_tpu.optim import init_optim
 
     train_model = VMGN(
-        num_classes=625, num_split=4, pyramid_part=True, num_gb=2, consistent_loss=True
+        num_classes=625, num_split=4, pyramid_part=True, num_gb=2,
+        consistent_loss=True, dtype=jnp.bfloat16,  # mixed precision (f32 params)
     )
     tx = init_optim("adam", 1e-4, weight_decay=5e-4)
     state = create_train_state(
