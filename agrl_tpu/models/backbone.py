@@ -37,7 +37,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -89,7 +89,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 1
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -134,7 +134,7 @@ class ResLayer(nn.Module):
     blocks: int
     stride: int = 1
     in_planes: int = 0  # for downsample decision
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -152,7 +152,7 @@ class ResLayer(nn.Module):
 class ResNetStem(nn.Module):
     """conv7x7/2 + BN + relu + maxpool3x3/2."""
 
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -180,7 +180,7 @@ class ResNetTrunk(nn.Module):
 
     block: type = Bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -200,7 +200,7 @@ class ResNetBackbone(nn.Module):
     block: type = Bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)
     last_stride: int = 2
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact
     def __call__(self, x, *, train: bool):

@@ -63,8 +63,9 @@ class VMGN(nn.Module):
     dist_method: str = "l2"
     feature_dim: int = 2048
     # mixed precision: compute dtype for the conv backbone (~97% of FLOPs);
-    # params stay f32, graph layers / heads / losses run f32
-    dtype: Any = jnp.float32
+    # params stay f32, graph layers / heads / losses run f32. None = follow
+    # the input dtype (so bf16-cast params keep the pure-bf16 eval path)
+    dtype: Any = None
 
     @property
     def total_split_list(self):
@@ -78,7 +79,9 @@ class VMGN(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
         """x: (B, S, H, W, 3) float; adj: (B, V, V), V = S * total_split."""
         B, S, H, W, C = x.shape
-        x = x.reshape(B * S, H, W, C).astype(self.dtype)
+        x = x.reshape(B * S, H, W, C)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x3 = ResNetTrunk(Bottleneck, self.layers, dtype=self.dtype, name="trunk")(
             x, train=train
@@ -87,8 +90,10 @@ class VMGN(nn.Module):
                         dtype=self.dtype, name="layer4_1")(x3, train=train)
         x4_2 = ResLayer(Bottleneck, 512, self.layers[3], stride=self.last_stride,
                         dtype=self.dtype, name="layer4_2")(x3, train=train)
-        x4_1 = x4_1.astype(jnp.float32)
-        x4_2 = x4_2.astype(jnp.float32)
+        if self.dtype is not None:
+            # mixed mode: graph layers / heads / losses run f32
+            x4_1 = x4_1.astype(jnp.float32)
+            x4_2 = x4_2.astype(jnp.float32)
         _, h, w, c = x4_1.shape
 
         # ---- global branch ----
