@@ -371,43 +371,56 @@ def train_one_epoch(
     batch_time = AverageMeter()
     data_time = AverageMeter()
 
+    from agrl_tpu.data.loader import prefetch_to_device
+    from agrl_tpu.parallel.mesh import batch_sharding
+
     num_batches = len(trainloader)
     end = time.time()
-    for batch_idx, (imgs, pids, _, adjs) in enumerate(trainloader):
-        data_time.update(time.time() - end)
-        key, step_key = jax.random.split(key)
-        with mesh:
-            imgs_d, pids_d, adjs_d = shard_batch(mesh, imgs, pids.astype(np.int32), adjs)
+
+    def batches():
+        for imgs, pids, _, adjs in trainloader:
+            yield imgs, pids.astype(np.int32), adjs
+
+    shardings = (
+        batch_sharding(mesh, 5),
+        batch_sharding(mesh, 1),
+        batch_sharding(mesh, 3),
+    )
+    with mesh:
+        prefetched = prefetch_to_device(batches(), size=2, sharding=shardings)
+        for batch_idx, (imgs_d, pids_d, adjs_d) in enumerate(prefetched):
+            data_time.update(time.time() - end)
+            key, step_key = jax.random.split(key)
             state, metrics = train_step(state, imgs_d, pids_d, adjs_d, step_key)
-        xent = float(metrics["xent_loss"])
-        htri = float(metrics["htri_loss"])
-        top1 = float(metrics["top1"])
-        batch_time.update(time.time() - end)
+            xent = float(metrics["xent_loss"])
+            htri = float(metrics["htri_loss"])
+            top1 = float(metrics["top1"])
+            batch_time.update(time.time() - end)
 
-        bsz = imgs.shape[0]
-        xent_losses.update(xent, bsz)
-        htri_losses.update(htri, bsz)
-        precisions.update(top1)
+            bsz = imgs_d.shape[0]
+            xent_losses.update(xent, bsz)
+            htri_losses.update(htri, bsz)
+            precisions.update(top1)
 
-        if ((batch_idx + 1) % args.print_freq == 0) or (
-            args.print_last and batch_idx == num_batches - 1
-        ):
-            eta_seconds = batch_time.avg * (
-                num_batches - (batch_idx + 1) + (args.max_epoch - (epoch + 1)) * num_batches
-            )
-            eta_str = str(datetime.timedelta(seconds=int(eta_seconds)))
-            print(
-                f"CurTime: {cur_time()}\t"
-                f"Epoch: [{epoch + 1}][{batch_idx + 1}/{num_batches}]\t"
-                f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
-                f"Speed {bsz / batch_time.avg:.3f} samples/s\t"
-                f"Data {data_time.val:.4f} ({data_time.avg:.4f})\t"
-                f"Xent {xent_losses.val:.4f} ({xent_losses.avg:.4f})\t"
-                f"Htri {htri_losses.val:.4f} ({htri_losses.avg:.4f})\t"
-                f"Top1 {precisions.val:.4f} ({precisions.avg:.4f})\t"
-                f"Eta {eta_str}"
-            )
-        end = time.time()
+            if ((batch_idx + 1) % args.print_freq == 0) or (
+                args.print_last and batch_idx == num_batches - 1
+            ):
+                eta_seconds = batch_time.avg * (
+                    num_batches - (batch_idx + 1) + (args.max_epoch - (epoch + 1)) * num_batches
+                )
+                eta_str = str(datetime.timedelta(seconds=int(eta_seconds)))
+                print(
+                    f"CurTime: {cur_time()}\t"
+                    f"Epoch: [{epoch + 1}][{batch_idx + 1}/{num_batches}]\t"
+                    f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                    f"Speed {bsz / batch_time.avg:.3f} samples/s\t"
+                    f"Data {data_time.val:.4f} ({data_time.avg:.4f})\t"
+                    f"Xent {xent_losses.val:.4f} ({xent_losses.avg:.4f})\t"
+                    f"Htri {htri_losses.val:.4f} ({htri_losses.avg:.4f})\t"
+                    f"Top1 {precisions.val:.4f} ({precisions.avg:.4f})\t"
+                    f"Eta {eta_str}"
+                )
+            end = time.time()
 
     writer.add_scalar("loss/xent_loss", xent_losses.avg, epoch + 1)
     writer.add_scalar("loss/htri_loss", htri_losses.avg, epoch + 1)
