@@ -117,6 +117,8 @@ class Evaluator:
     ):
         qf, q_pids, q_camids, bt_q = self.extract(variables, queryloader, "query")
         gf, g_pids, g_camids, bt_g = self.extract(variables, galleryloader, "gallery")
+        avg_bt = (bt_q.sum + bt_g.sum) / max(bt_q.count + bt_g.count, 1)
+        print(f"==> BatchTime(s)/Batch: {avg_bt:.3f}")
 
         # fast path: MARS protocol fully on device (streaming top-k +
         # masked-cumsum CMC/mAP) — no (Q, G) matrix on host. Re-ranking

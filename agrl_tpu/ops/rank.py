@@ -77,7 +77,9 @@ def streaming_topk(
         neg_top, arg = jax.lax.top_k(-cat_d, k)
         return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None
 
-    init = (jnp.full((Q, k), big), jnp.zeros((Q, k), jnp.int32))
+    # initializer slots carry an OUT-OF-RANGE index (G): when k > G the
+    # surviving fillers must not alias gallery entry 0
+    init = (jnp.full((Q, k), big), jnp.full((Q, k), G, jnp.int32))
     (dists, idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_tiles), g_tiles)
     )
@@ -96,11 +98,14 @@ def mars_cmc_map_from_topk(
 
     Same cumulative-sum trapezoid formulation as the NumPy oracle
     (agrl_tpu.metrics.rank.evaluate_mars)."""
-    idx = topk_idx[:, :max_rank]
-    g_pid_s = g_pids[idx]
-    g_cam_s = g_camids[idx]
-    good = (g_pid_s == q_pids[:, None]) & (g_cam_s != q_camids[:, None])
-    junk = (g_pid_s == -1) | (
+    G = g_pids.shape[0]
+    R = min(max_rank, topk_idx.shape[1])
+    idx = topk_idx[:, :R]
+    in_range = idx < G  # small galleries: top-k slots may be padding
+    g_pid_s = g_pids[jnp.clip(idx, 0, G - 1)]
+    g_cam_s = g_camids[jnp.clip(idx, 0, G - 1)]
+    good = (g_pid_s == q_pids[:, None]) & (g_cam_s != q_camids[:, None]) & in_range
+    junk = ~in_range | (g_pid_s == -1) | (
         (g_pid_s == q_pids[:, None]) & (g_cam_s == q_camids[:, None])
     )
     keep = ~junk
@@ -118,7 +123,7 @@ def mars_cmc_map_from_topk(
     ap = ((prec + old_prec) / 2.0 * good).sum(axis=1) / jnp.maximum(ngood, 1)
     ap = jnp.where(ngood > 0, ap, 0.0)
 
-    first_good = jnp.where(good, j - 1, max_rank).min(axis=1)
+    first_good = jnp.where(good, j - 1, R).min(axis=1)
     cmc = (jnp.arange(max_rank)[None, :] >= first_good[:, None]).astype(jnp.float32)
     return cmc.mean(axis=0), ap.mean()
 
