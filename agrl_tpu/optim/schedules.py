@@ -9,7 +9,13 @@ Parity targets:
     multistep decay.
 
 The reference steps its scheduler once per EPOCH; `per_step` converts an
-epoch schedule to an optax per-update-step schedule."""
+epoch schedule to an optax per-update-step schedule.
+
+Deliberate deviation: this schedule decays AT the milestone epoch
+(epoch 50 of `--stepsize 50 ...` already uses the decayed lr). torch's
+post-1.1 `scheduler.step(epoch)` called after each epoch effectively
+applies the decay from milestone+1 — a one-epoch offset with no
+practical effect over 50-epoch stages."""
 
 from __future__ import annotations
 
