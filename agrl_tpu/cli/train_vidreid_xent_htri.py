@@ -197,7 +197,11 @@ def run(args):
         dtype=jnp.bfloat16 if args.bf16_train else jnp.float32,
     )
 
-    # schedules: epoch-indexed like the reference scheduler.step(epoch)
+    # schedules: epoch-indexed like the reference scheduler.step(epoch).
+    # NOTE: RandomIdentitySampler's epoch length is stochastic (pids leave
+    # the pool when exhausted), so step//steps_per_epoch is approximate for
+    # it; RandomIdentitySamplerV1 (used by every shipped script) has exact
+    # length num_ids * K, making the mapping exact under drop_last.
     steps_per_epoch = max(1, len(trainloader))
     if args.warmup:
         lr_epoch = warmup_multistep_lr(

@@ -14,10 +14,15 @@ to-float+normalize -> [random erase].
 Deliberate deviations (documented):
   * GroupRandomErasing in the reference lacks the early return
     (transforms.py:298-321) and can stamp up to 100 rectangles per frame;
-    here a single rectangle is erased per clip (the standard Zhong et al.
-    formulation the reference clearly intended).
-  * rand-crop/misalign run AFTER the host resize with proportionally
-    scaled sizes (geometry-equivalent up to resampling order).
+    here a single rectangle is erased per frame (the standard Zhong et al.
+    formulation the reference clearly intended). Like the reference, the
+    erase decision is PER FRAME and fills with [0.485, 0.456, 0.406] in
+    post-normalization units (reference applies it after GroupNormalize).
+  * rand-crop (GroupRandomCrop (240, 120) pre-resize) and misalign run
+    AFTER the host resize with the equivalent fractional geometry:
+    crop a (240/256, 120/128) window then stretch back; misalign crops or
+    edge-pads 5% at the top/bottom and rescales to the original height
+    (the reference's later GroupResize performs that stretch).
 """
 
 from __future__ import annotations
@@ -81,33 +86,45 @@ def _erase_mask(key, H: int, W: int, sl=0.02, sh=0.4, r1=0.3):
     )  # (H, W) bool
 
 
-def _translate_crop(clip, key, p: float):
-    """GroupRandom2DTranslation (transforms.py:220-271): with prob p,
-    upscale by 1.125 and take a random crop back to the original size."""
+def _random_crop(clip, key, frac_h: float = 240 / 256, frac_w: float = 120 / 128):
+    """GroupRandomCrop((240, 120)) equivalent post-resize: crop a
+    fractional window at a random offset from EVERY clip, then stretch
+    back to the original size (the reference crops pre-resize so the
+    subsequent GroupResize performs the stretch; driver :198-200)."""
     S, H, W, C = clip.shape
-    k_p, k_x, k_y = jax.random.split(key, 3)
-    bigger = jax.image.resize(
-        clip, (S, int(H * 1.125), int(W * 1.125), C), method="bilinear"
-    )
-    max_x = int(W * 1.125) - W
-    max_y = int(H * 1.125) - H
-    x1 = jax.random.randint(k_x, (), 0, max_x + 1)
-    y1 = jax.random.randint(k_y, (), 0, max_y + 1)
-    cropped = jax.lax.dynamic_slice(bigger, (0, y1, x1, 0), (S, H, W, C))
-    return jnp.where(jax.random.uniform(k_p) < p, cropped, clip)
+    ch, cw = max(1, int(round(H * frac_h))), max(1, int(round(W * frac_w)))
+    k_x, k_y = jax.random.split(key)
+    y1 = jax.random.randint(k_y, (), 0, H - ch + 1)
+    x1 = jax.random.randint(k_x, (), 0, W - cw + 1)
+    window = jax.lax.dynamic_slice(clip, (0, y1, x1, 0), (S, ch, cw, C))
+    return jax.image.resize(window, (S, H, W, C), method="bilinear")
 
 
 def _misalign(clip, key, ratio: float = 0.05):
-    """GroupMisAlignAugment (transforms.py:327-361): with prob 0.5 crop
-    `ratio` off the top or bottom and pad the opposite side (replicate via
-    zero-pad like the reference's pad-with-0 then, keeping size)."""
+    """GroupMisAlignAugment (transforms.py:327-361): with prob 0.5,
+    randomly crop OR edge-pad `ratio` of the height at the top or bottom;
+    the reference's later GroupResize stretches back to full height, so
+    each variant here rescales to (H, W)."""
     S, H, W, C = clip.shape
     d = max(int(H * ratio), 1)
-    k_apply, k_side = jax.random.split(key)
-    top_cut = jnp.pad(clip[:, d:], ((0, 0), (0, d), (0, 0), (0, 0)))
-    bot_cut = jnp.pad(clip[:, :-d], ((0, 0), (d, 0), (0, 0), (0, 0)))
-    cut = jnp.where(jax.random.uniform(k_side) < 0.5, top_cut, bot_cut)
-    return jnp.where(jax.random.uniform(k_apply) < 0.5, cut, clip)
+    k_apply, k_side, k_op = jax.random.split(key, 3)
+
+    def stretch(x):
+        return jax.image.resize(x, (S, H, W, C), method="bilinear")
+
+    crop_top = stretch(clip[:, d:])
+    crop_bot = stretch(clip[:, :-d])
+    pad_top = stretch(jnp.pad(clip, ((0, 0), (d, 0), (0, 0), (0, 0)), mode="edge"))
+    pad_bot = stretch(jnp.pad(clip, ((0, 0), (0, d), (0, 0), (0, 0)), mode="edge"))
+
+    top = jax.random.uniform(k_side) < 0.5
+    crop = jax.random.uniform(k_op) < 0.5
+    out = jnp.where(
+        crop,
+        jnp.where(top, crop_top, crop_bot),
+        jnp.where(top, pad_top, pad_bot),
+    )
+    return jnp.where(jax.random.uniform(k_apply) < 0.5, out, clip)
 
 
 def _preprocess_one_clip(
@@ -128,7 +145,7 @@ def _preprocess_one_clip(
     if train and misalign_aug:
         x = _misalign(x, k_mis)
     if train and rand_translate:
-        x = _translate_crop(x, k_trans, p=0.5)
+        x = _random_crop(x, k_trans)
     if train and flip_aug:
         x = jnp.where(jax.random.uniform(k_flip) < 0.5, x[:, :, ::-1, :], x)
 
@@ -137,10 +154,18 @@ def _preprocess_one_clip(
     x = (x - mean) / std
 
     if train and rand_erase:
-        k_p, k_rect = jax.random.split(k_erase)
-        mask = _erase_mask(k_rect, H, W)[None, :, :, None]
-        erased = jnp.where(mask, 0.0, x)  # erase to 0 == per-channel mean
-        x = jnp.where(jax.random.uniform(k_p) < 0.5, erased, x)
+        # per-frame decision + per-frame rectangle (GroupRandomErasing runs
+        # per instance, transforms.py:288-296); fill value = raw means in
+        # post-normalization units (reference erases after GroupNormalize)
+        fill = jnp.asarray(IMAGENET_MEAN)
+
+        def erase_frame(frame, key):
+            k_p, k_rect = jax.random.split(key)
+            mask = _erase_mask(k_rect, H, W)[:, :, None]
+            erased = jnp.where(mask, fill, frame)
+            return jnp.where(jax.random.uniform(k_p) < 0.5, erased, frame)
+
+        x = jax.vmap(erase_frame)(x, jax.random.split(k_erase, S))
     return x
 
 

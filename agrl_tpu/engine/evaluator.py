@@ -141,6 +141,7 @@ class Evaluator:
             return cmc[0], mAP
 
         print(f"Computing distance matrix with metric={dist_metric} ...")
+        dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
         if mesh is not None:
             from agrl_tpu.ops.distmat import sharded_distmat
 
@@ -149,7 +150,6 @@ class Evaluator:
                     sharded_distmat(mesh, jnp.asarray(qf), jnp.asarray(gf), dist_metric)
                 )
         else:
-            dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
             distmat = np.asarray(dist_fn(jnp.asarray(qf), jnp.asarray(gf)))
 
         if re_rank:

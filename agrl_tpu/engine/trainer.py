@@ -59,13 +59,17 @@ def make_train_step(
             mutable=["batch_stats"],
             rngs={"subclip": r_sub, "dropout": r_drop},
         )
-        xent = deep_supervision(xent_fn, outputs, pids)
-        htri = deep_supervision(htri_fn, features, pids)
+        # single-head archs return bare arrays (reference guards the same
+        # way, train_vidreid_xent_htri.py:400-408)
+        out_list = outputs if isinstance(outputs, (list, tuple)) else [outputs]
+        feat_list = features if isinstance(features, (list, tuple)) else [features]
+        xent = deep_supervision(xent_fn, out_list, pids)
+        htri = deep_supervision(htri_fn, feat_list, pids)
         loss = lambda_xent * xent + lambda_htri * htri
         # top-1 precision averaged over heads (reference accuracy().mean)
         prec = jnp.mean(
             jnp.stack(
-                [jnp.mean(jnp.argmax(o, axis=1) == pids) for o in outputs]
+                [jnp.mean(jnp.argmax(o, axis=1) == pids) for o in out_list]
             )
         )
         return loss, (mutated["batch_stats"], xent, htri, prec)

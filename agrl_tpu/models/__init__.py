@@ -55,18 +55,46 @@ __model_factory = {
     "res50tp": res50tp,  # models/res50tp.py:224
     "resnet50_s1": resnet50_s1,  # models/resnet50_s1.py:217
     "vmgn_tiny": vmgn_tiny,  # debug/smoke-test arch (not in the reference)
-    # legacy families (present in the reference codebase but unregistered
-    # there — models/resnet.py, resnet_temporal.py, resnet3d.py, resnet3dt.py)
-    "resnet50": resnet50_image,
-    "resnet101": resnet101_image,
-    "resnet50m": resnet50m,
-    "resnet50b": resnet50b,
+    # legacy VIDEO families (unregistered in the reference —
+    # models/resnet_temporal.py, resnet3d.py, resnet3dt.py)
     "res50tp_legacy": res50tp_legacy,
     "res50ta": res50ta,
     "res50rnn": res50rnn,
     "resnet3d50": resnet3d,
     "resnet3dt": resnet3dt,
 }
+
+# IMAGE re-id archs (single-image input, no adjacency — reference
+# models/resnet.py, also unregistered there). Kept in a separate registry:
+# the video driver's clip contract does not apply to them.
+__image_model_factory = {
+    "resnet50": resnet50_image,
+    "resnet101": resnet101_image,
+    "resnet50m": resnet50m,
+    "resnet50b": resnet50b,
+}
+
+
+def get_image_names():
+    return list(__image_model_factory.keys())
+
+
+def init_image_model(name: str, *args, **kwargs):
+    if name not in __image_model_factory:
+        raise KeyError(f"Unknown image model: {name}. Choices: {get_image_names()}")
+    return __image_model_factory[name](*args, **kwargs)
+
+
+def init_image_params(model, rng, height=256, width=128, batch_size=2):
+    """Initialize an image-reid model's variables (train mode, all rngs)."""
+    x = jnp.zeros((batch_size, height, width, 3), jnp.float32)
+    k1, k2 = jax.random.split(rng)
+
+    @jax.jit
+    def _init(k1, k2, x):
+        return model.init({"params": k1, "dropout": k2}, x, train=True)
+
+    return _init(k1, k2, x)
 
 
 def get_names():

@@ -17,13 +17,11 @@ Parity targets in the reference:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+from agrl_tpu.models.backbone import BatchNorm  # single source of BN constants
 
 # reference _init_params (vmgn.py:137-140): Linear ~ N(0, 0.01)
 graph_linear_init = nn.initializers.normal(stddev=0.01)

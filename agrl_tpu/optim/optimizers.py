@@ -156,13 +156,15 @@ def radam(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
-    weight_decay: float = 0.0,
+    weight_decay=0.0,
 ) -> optax.GradientTransformation:
     """Rectified Adam matching the reference variant, including its
     decoupled weight decay (p -= wd * lr * p) and its SGD fallback when
     the rectification term N_sma <= 4 (<= 5 disables the rectified step
-    size; the two thresholds differ in the reference — preserved)."""
+    size; the two thresholds differ in the reference — preserved).
+    `weight_decay` may be a step schedule (--zero-wd support)."""
     lr_fn = _as_schedule(learning_rate)
+    wd_fn = _as_schedule(weight_decay)
 
     def init(params):
         zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
@@ -203,12 +205,14 @@ def radam(
         # both within one step for b2=0.999. Guard NaN for n_sma <= 4.
         step_size = jnp.where(n_sma > 5.0, step_rect, step_plain)
 
+        wd_t = wd_fn(state["count"])
+
         def upd(m, v, p):
             adam_step = -step_size * m / (jnp.sqrt(v) + eps)
             sgd_step = -step_plain * m
             out = jnp.where(use_adam, adam_step, sgd_step)
-            if weight_decay != 0 and p is not None:
-                out = out - weight_decay * lr_t * p
+            if p is not None:
+                out = out - wd_t * lr_t * p
             return out
 
         if params is None:
@@ -255,7 +259,7 @@ def init_optim(
         core = adabound(lr_fn, base_lr=base_lr)
     elif optim == "radam":
         # radam applies its own decoupled decay; no L2 chain
-        return radam(lr_fn, weight_decay=float(wd_fn(0)))
+        return radam(lr_fn, weight_decay=wd_fn)
     else:
         raise KeyError(f"Unsupported optimizer: {optim}. Choices: {OPTIMIZER_NAMES}")
 

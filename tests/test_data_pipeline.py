@@ -141,7 +141,7 @@ class TestDeviceTransforms:
             some_flipped += int(is_flip)
         assert 0 < some_flipped < 16  # p=0.5 both outcomes appear
 
-    def test_erase_stamps_one_rect(self):
+    def test_erase_stamps_one_rect_per_frame(self):
         u8 = np.full((8, 2, 32, 16, 3), 255, np.uint8)
         out = np.asarray(
             preprocess_clips(
@@ -149,14 +149,22 @@ class TestDeviceTransforms:
             )
         )
         base = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        n_erased = 0
         for b in range(8):
-            frame = out[b, 0]
-            changed = ~np.isclose(frame, base, atol=1e-5).all(axis=-1)
-            if changed.any():
-                rows = np.flatnonzero(changed.any(axis=1))
-                cols = np.flatnonzero(changed.any(axis=0))
-                # erased region is one solid rectangle
-                assert changed[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1].all()
+            for s in range(2):
+                frame = out[b, s]
+                changed = ~np.isclose(frame, base, atol=1e-5).all(axis=-1)
+                if changed.any():
+                    n_erased += 1
+                    rows = np.flatnonzero(changed.any(axis=1))
+                    cols = np.flatnonzero(changed.any(axis=0))
+                    # erased region is one solid rectangle...
+                    assert changed[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1].all()
+                    # ...filled with the raw means in normalized units
+                    np.testing.assert_allclose(
+                        frame[rows[0], cols[0]], IMAGENET_MEAN, atol=1e-5
+                    )
+        assert 0 < n_erased < 16  # p=0.5 per frame
 
     def test_deterministic_given_key(self):
         u8 = self.make()

@@ -80,7 +80,17 @@ class TestResNet3D:
 
 
 def test_full_registry():
-    from agrl_tpu.models import get_names
+    from agrl_tpu.models import get_image_names, get_names
 
-    assert {"resnet50", "resnet101", "resnet50m", "resnet50b",
-            "res50tp_legacy", "res50ta", "res50rnn", "resnet3d50", "resnet3dt"} <= set(get_names())
+    assert {"res50tp_legacy", "res50ta", "res50rnn", "resnet3d50", "resnet3dt"} <= set(
+        get_names()
+    )
+    assert {"resnet50", "resnet101", "resnet50m", "resnet50b"} == set(get_image_names())
+
+
+def test_image_model_init_params():
+    from agrl_tpu.models import init_image_params
+
+    m = ResNet50B(num_classes=4, loss=frozenset({"xent", "htri"}), layers=TINY)
+    variables = init_image_params(m, jax.random.PRNGKey(0), height=64, width=32)
+    assert "params" in variables

@@ -183,3 +183,15 @@ class TestSchedules:
         opt = init_optim("adam", 1e-3, weight_decay=wd_fn)
         got = run_optax(opt, x0, grads)
         assert len(got) == 6
+
+    def test_zero_wd_schedule_radam(self):
+        # radam must honor the wd schedule too (decoupled decay)
+        x0, grads = make_problem(n_steps=6)
+        big_wd = 0.5  # large so the decay visibly changes the trajectory
+        wd_fn = lambda step: jnp.where(step < 3, big_wd, 0.0)  # noqa: E731
+        got_sched = run_optax(init_optim("radam", 1e-3, weight_decay=wd_fn), x0, grads)
+        got_const = run_optax(init_optim("radam", 1e-3, weight_decay=big_wd), x0, grads)
+        # identical while wd active...
+        np.testing.assert_allclose(got_sched[2], got_const[2], atol=1e-7)
+        # ...diverging once the schedule zeroes it
+        assert np.abs(got_sched[5] - got_const[5]).max() > 1e-6

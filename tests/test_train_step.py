@@ -20,6 +20,23 @@ def make_batch(rng, B=8, S=8, H=32, W=32, total_split=7, num_pids=4):
     return x, pids, adj
 
 
+def test_single_head_arch_trains():
+    """Regression: archs returning bare (y, f) arrays (not head lists)
+    must pass through the train step (gsta/res50tp/etc.)."""
+    from agrl_tpu.models.gsta import GSTA
+
+    model = GSTA(num_classes=4, layers=(1, 1, 1, 1), num_split=4, num_gb=1)
+    tx = init_optim("adam", 1e-3)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+    )
+    step = make_train_step(model, tx, donate=False)
+    x, pids, adj = make_batch(np.random.RandomState(0))
+    state, metrics = step(state, x, pids, adj, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["top1"]) <= 100.0
+
+
 def test_loss_decreases_single_device():
     model = tiny_vmgn()
     tx = init_optim("adam", 1e-3, weight_decay=0.0)
