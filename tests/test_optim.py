@@ -195,3 +195,20 @@ class TestSchedules:
         np.testing.assert_allclose(got_sched[2], got_const[2], atol=1e-7)
         # ...diverging once the schedule zeroes it
         assert np.abs(got_sched[5] - got_const[5]).max() > 1e-6
+
+
+def test_amsbound_differs_from_adabound_and_descends():
+    from agrl_tpu.optim import adabound
+
+    x0, grads = make_problem(n_steps=8)
+    a = run_optax(
+        __import__("optax").chain(adabound(1e-3, base_lr=1e-3, amsbound=False)), x0, grads
+    )
+    b = run_optax(
+        __import__("optax").chain(adabound(1e-3, base_lr=1e-3, amsbound=True)), x0, grads
+    )
+    assert np.isfinite(a[-1]).all() and np.isfinite(b[-1]).all()
+    # variants agree initially (max == current second moment early on is
+    # possible) but must both update parameters
+    assert not np.allclose(a[-1], x0)
+    assert not np.allclose(b[-1], x0)

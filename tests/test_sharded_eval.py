@@ -43,3 +43,22 @@ def test_evaluator_sharded_vs_single(tmp_path):
     )
     np.testing.assert_allclose(r1_single, r1_dev, atol=1e-5)
     np.testing.assert_allclose(map_single, map_dev, atol=1e-5)
+
+
+def test_evaluator_max_pool_dense(tmp_path):
+    """dense sampling with --pool max runs and pools per tracklet."""
+    ds = init_vidreid_dataset(
+        "synthetic", root=str(tmp_path / "d2"), num_pids=2, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 9), height=64, width=32, verbose=False,
+    )
+    kw = dict(seq_len=4, sample="dense", height=64, width=32,
+              pose_info=ds.process_poses, num_split=4, pyramid_part=True)
+    qloader = ClipLoader(VideoClipDataset(ds.query, **kw), batch_size=1, num_workers=2)
+    gloader = ClipLoader(VideoClipDataset(ds.gallery, **kw), batch_size=1, num_workers=2)
+    model = init_model("vmgn_tiny", num_classes=2, loss={"xent", "htri"},
+                       num_split=4, pyramid_part=True, num_gb=1,
+                       use_pose=True, learn_graph=True)
+    variables = init_params(model, jax.random.PRNGKey(0), seq_len=4, height=64, width=32)
+    ev = Evaluator(model, test_sample="dense", pool="max")
+    r1, mAP = ev.evaluate(variables, qloader, gloader, dist_metric="cosine")
+    assert 0.0 <= float(mAP) <= 1.0
