@@ -22,6 +22,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (jax.distributed): call once per host
+    before any jax op when running on a multi-host pod slice. With no
+    arguments, uses the TPU environment's auto-detection. After this,
+    make_mesh() sees every chip in the slice and the same jit'd train
+    step runs SPMD across hosts (collectives ride ICI within the slice,
+    DCN across slices)."""
+    import jax.distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     dp: int | None = None, mp: int = 1, devices=None
 ) -> Mesh:

@@ -71,3 +71,34 @@ class TestTripletKernel:
         want_ap, want_an = hard_mine(dist, jnp.asarray(labels))
         np.testing.assert_allclose(np.asarray(got_ap), np.asarray(want_ap), atol=1e-4)
         np.testing.assert_allclose(np.asarray(got_an), np.asarray(want_an), atol=1e-4)
+
+
+class TestGraphConvKernelV2:
+    def test_parity_vs_reference(self):
+        """v2 (single-pass W streaming) vs the f32 reference on the same
+        bf16-rounded inputs it uses internally."""
+        import jax.numpy as jnp
+
+        from agrl_tpu.ops.graph_conv_v2 import graph_propagate_pallas_v2
+
+        rng = np.random.RandomState(0)
+        B, V, C = 16, 56, 1024
+        f = (rng.randn(B, V, C) * 0.1).astype(np.float32)
+        adj = (rng.rand(B, V, V) > 0.5).astype(np.float32)
+        W = (rng.randn(C, C) * 0.01).astype(np.float32)
+        scale = rng.rand(C).astype(np.float32) + 0.5
+        bias = (rng.randn(C) * 0.1).astype(np.float32)
+        mean = (rng.randn(C) * 0.1).astype(np.float32)
+        var = rng.rand(C).astype(np.float32) + 0.5
+
+        f_rounded = np.asarray(jnp.asarray(f, jnp.bfloat16), np.float32)
+        adj_rounded = np.asarray(jnp.asarray(adj, jnp.bfloat16), np.float32)
+        want = np.asarray(
+            graph_propagate_reference(f_rounded, adj_rounded, W, scale, bias, mean, var)
+        )
+        got = np.asarray(
+            graph_propagate_pallas_v2(
+                f, adj, W, scale, bias, mean, var, weight_tile=256, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-3)
