@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     # Checkpoint
     p.add_argument("--resume", type=str, default="", metavar="PATH")
     p.add_argument("--load-weights", type=str, default="")
+    p.add_argument("--pretrained-weights", type=str, default="", metavar="PATH",
+                   help="torchvision-style ImageNet ResNet weights (.pth/.pth.tar/"
+                        ".npz) loaded into the backbone at startup — the reference's "
+                        "init_pretrained_weights (vmgn.py:360-370), incl. the vmgn "
+                        "layer4 -> layer4_1/layer4_2 duplication")
     # Evaluation
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--eval-step", type=int, default=-1)
@@ -224,6 +229,18 @@ def run(args):
     print(f"Model size: {count_num_param(state.params):.5f}M")
 
     from agrl_tpu.utils.iotools import check_isfile
+
+    if args.pretrained_weights and check_isfile(args.pretrained_weights):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        new_vars, matched, skipped = models.init_pretrained_weights(
+            variables, args.pretrained_weights
+        )
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, new_vars["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, new_vars["batch_stats"]),
+        )
+        print(f"Initialized backbone with ImageNet weights from "
+              f"'{args.pretrained_weights}' ({len(matched)} matched, {len(skipped)} skipped)")
 
     if args.load_weights and check_isfile(args.load_weights):
         new_params, matched, skipped = load_weights_partial(state.params, args.load_weights)
@@ -396,15 +413,15 @@ def train_one_epoch(
             data_time.update(time.time() - end)
             key, step_key = jax.random.split(key)
             state, metrics = train_step(state, imgs_d, pids_d, adjs_d, step_key)
-            xent = float(metrics["xent_loss"])
-            htri = float(metrics["htri_loss"])
-            top1 = float(metrics["top1"])
             batch_time.update(time.time() - end)
 
+            # keep metrics as device scalars — a float() here would block on
+            # the device every step and defeat the prefetch overlap; the
+            # meters do device-side arithmetic and only sync at print time
             bsz = imgs_d.shape[0]
-            xent_losses.update(xent, bsz)
-            htri_losses.update(htri, bsz)
-            precisions.update(top1)
+            xent_losses.update(metrics["xent_loss"], bsz)
+            htri_losses.update(metrics["htri_loss"], bsz)
+            precisions.update(metrics["top1"])
 
             if ((batch_idx + 1) % args.print_freq == 0) or (
                 args.print_last and batch_idx == num_batches - 1

@@ -186,8 +186,11 @@ def evaluate_mars(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
     ap = ((prec + old_prec) / 2.0 / ngood_safe * good).sum(axis=1)
     ap = np.where(ngood > 0, ap, 0.0)
 
-    # CMC: kept-rank of first good
-    first_good = np.where(good, j - 1, R)
+    # CMC: kept-rank of first good. Queries with no good entry in the
+    # truncated list use a sentinel >= max_rank so their CMC row stays all
+    # zeros even when num_g < max_rank (a found query's 1s extend past R,
+    # i.e. the row is padded with its last value).
+    first_good = np.where(good, j - 1, max_rank)
     r0 = first_good.min(axis=1)
     ranks = np.arange(max_rank)[None, :]
     cmc = (ranks >= r0[:, None]).astype(np.float64)

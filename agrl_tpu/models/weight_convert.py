@@ -168,6 +168,77 @@ def merge_converted(variables, converted):
     return new_vars, matched, skipped
 
 
+def convert_imagenet_resnet(state_dict: dict, target_params: dict):
+    """torchvision-style ResNet state dict -> converted variable tree.
+
+    Reproduces the reference's ImageNet init semantics:
+      * single-layer4 archs (gsta/ganet/sta/res50tp/...): name+shape
+        filtered load, `layer4.*` maps straight onto `layer4`
+        (reference init_pretrained_weights, vmgn.py:360-370);
+      * vmgn: the reference loads the backbone BEFORE layer4 is
+        deep-copied (vmgn.py:224-234), so both `layer4_1` and `layer4_2`
+        start from the SAME ImageNet layer4 — here `layer4.*` entries fan
+        out to every `layer4*` branch present in the target;
+      * classifier head (`fc.*`) is dropped (shape-filtered out in the
+        reference; the re-id heads are new).
+    """
+    branches = sorted(k for k in target_params if re.match(r"^layer4(_\d+)?$", k))
+    params, batch_stats = {}, {}
+
+    def emit(name, value):
+        mapped = _split_torch_name(name)
+        if mapped is None:
+            return
+        path, collection, kind = mapped
+        arr = _transform(_to_numpy(value), kind)
+        (params if collection == "params" else batch_stats)[path] = arr
+
+    for name, value in state_dict.items():
+        name = re.sub(r"^module\.", "", name)
+        if name.startswith("fc."):
+            continue
+        if name.startswith("layer4."):
+            for branch in branches:
+                emit(branch + name[len("layer4"):], value)
+        else:
+            emit(name, value)
+    return {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(batch_stats),
+    }
+
+
+def _load_state_dict_file(fpath: str, key: str = "state_dict") -> dict:
+    """Read a torch-style state dict from .pth/.pth.tar (torch required) or
+    .npz/.npy (numpy archive keyed by torch names — the no-torch path)."""
+    if fpath.endswith(".npz"):
+        with np.load(fpath) as z:
+            return {k: z[k] for k in z.files}
+    if fpath.endswith(".npy"):
+        return dict(np.load(fpath, allow_pickle=True).item())
+    import torch
+
+    ckpt = torch.load(fpath, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and key in ckpt:
+        return ckpt[key]
+    return ckpt
+
+
+def init_pretrained_weights(variables, source):
+    """ImageNet-pretrained backbone init — reference init_pretrained_weights
+    (vmgn.py:360-370) incl. the vmgn load-before-layer4-duplication quirk.
+
+    `source` is a torchvision-style ResNet state dict, or a path to one
+    (.pth/.pth.tar via torch, .npz/.npy via numpy).
+
+    Returns (new_variables, matched, skipped) — shape-filtered partial
+    merge, unmatched model leaves keep their random init."""
+    if isinstance(source, str):
+        source = _load_state_dict_file(source)
+    converted = convert_imagenet_resnet(source, variables.get("params", {}))
+    return merge_converted(variables, converted)
+
+
 def load_torch_checkpoint(variables, fpath: str, key: str = "state_dict"):
     """Load a reference .pth(.tar) checkpoint into Flax variables.
 

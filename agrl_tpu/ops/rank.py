@@ -123,7 +123,9 @@ def mars_cmc_map_from_topk(
     ap = ((prec + old_prec) / 2.0 * good).sum(axis=1) / jnp.maximum(ngood, 1)
     ap = jnp.where(ngood > 0, ap, 0.0)
 
-    first_good = jnp.where(good, j - 1, R).min(axis=1)
+    # no-good sentinel must be >= max_rank (not R): with num_g < max_rank a
+    # sentinel of R would flip CMC to 1 past R for queries with no match
+    first_good = jnp.where(good, j - 1, max_rank).min(axis=1)
     cmc = (jnp.arange(max_rank)[None, :] >= first_good[:, None]).astype(jnp.float32)
     return cmc.mean(axis=0), ap.mean()
 

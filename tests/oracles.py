@@ -13,6 +13,10 @@ def mars_ap_cmc_single(good_image, junk_image, index):
     query over a (possibly truncated) ranked index list."""
     cmc = np.zeros(len(index))
     ngood = len(good_image)
+    if ngood == 0:
+        # the reference divides by zero here (recall = .../ngood); real MARS
+        # queries always have a cross-camera match. Extension: AP=0, CMC=0.
+        return 0.0, cmc
     old_recall = 0.0
     old_precision = 1.0
     ap = 0.0
@@ -53,7 +57,13 @@ def mars_eval_loop(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
         junk_mask2 = (q_pids[k] == g_pids) & (q_camids[k] == g_camids)
         junk_idx = np.where(junk_mask1 | junk_mask2)[0]
         sort_idx = np.argsort(distmat[k, :])[:max_rank]
-        ap[k], cmc[k, :] = mars_ap_cmc_single(good_idx, junk_idx, sort_idx)
+        ap[k], row = mars_ap_cmc_single(good_idx, junk_idx, sort_idx)
+        # num_g < max_rank: the reference's cmc[k, :] assignment would
+        # broadcast-error; define the extension as pad-with-last-value
+        # (1 past the first good, 0 if no good was found)
+        cmc[k, : len(row)] = row
+        if len(row) < max_rank and len(row) > 0:
+            cmc[k, len(row):] = row[-1]
     return np.mean(cmc, axis=0), float(np.mean(ap))
 
 

@@ -31,6 +31,35 @@ def test_mars_with_junk_pids():
     np.testing.assert_allclose(map_v, map_o, atol=1e-12)
 
 
+def test_mars_small_gallery_no_good_query_keeps_cmc_zero():
+    """num_g < max_rank regression: a query with NO cross-camera match must
+    contribute an all-zero CMC row — the sentinel must be >= max_rank, not
+    the truncated length R (round-1 bug: cmc flipped to 1 past R)."""
+    # query 0: pid 0 only appears same-camera (junk) -> no good match at all
+    # query 1: perfect match at rank 0
+    dist = np.array([[0.1, 0.5, 0.6], [0.9, 0.1, 0.8]])
+    qp = np.array([0, 1])
+    gp = np.array([0, 1, 2])
+    qc = np.array([0, 0])
+    gc = np.array([0, 1, 1])
+    max_rank = 10  # > num_g = 3
+    cmc, mAP = evaluate_mars(dist, qp, gp, qc, gc, max_rank=max_rank)
+    cmc_o, map_o = mars_eval_loop(dist, qp, gp, qc, gc, max_rank=max_rank)
+    np.testing.assert_allclose(cmc, cmc_o, atol=1e-12)
+    np.testing.assert_allclose(mAP, map_o, atol=1e-12)
+    # query 0 contributes zeros everywhere, query 1 contributes ones -> 0.5
+    np.testing.assert_allclose(cmc, np.full(max_rank, 0.5))
+
+
+def test_mars_small_gallery_random_parity():
+    rng = np.random.RandomState(11)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=20, num_g=12, num_pids=30)
+    cmc_v, map_v = evaluate_mars(dist, qp, gp, qc, gc, max_rank=50)
+    cmc_o, map_o = mars_eval_loop(dist, qp, gp, qc, gc, max_rank=50)
+    np.testing.assert_allclose(cmc_v, cmc_o, atol=1e-12)
+    np.testing.assert_allclose(map_v, map_o, atol=1e-12)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_market1501_parity(seed):
     rng = np.random.RandomState(seed)

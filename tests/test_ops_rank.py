@@ -75,3 +75,24 @@ def test_market1501_device_parity(seed):
     cmc_o, map_o = eval_market1501(dm, qp, gp, qc, gc, max_rank=50)
     np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-5)
     np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
+
+
+def test_mars_device_small_gallery_no_good_query():
+    """num_g < max_rank: device path must keep CMC=0 past R for queries with
+    no good match (sentinel >= max_rank regression, mirrors the NumPy test)."""
+    qf = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    gf = np.array([[1.0, 0.1], [0.1, 1.0], [-1.0, -1.0]], np.float32)
+    qp = np.array([0, 1])
+    gp = np.array([0, 1, 2])
+    qc = np.array([0, 0])
+    gc = np.array([0, 1, 1])  # query 0's only pid match is same-cam -> junk
+    max_rank = 10
+    cmc_d, map_d = evaluate_mars_device(
+        jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc,
+        max_rank=max_rank, metric="euclidean", tile=8,
+    )
+    dm = compute_distance_matrix(qf, gf, "euclidean")
+    cmc_o, map_o = evaluate_mars(dm, qp, gp, qc, gc, max_rank=max_rank)
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-6)
+    np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cmc_d), np.full(max_rank, 0.5))
