@@ -1,0 +1,218 @@
+"""End-to-end numeric parity against the ACTUAL reference implementation.
+
+The reference repo is mounted read-only at /root/reference and torch (CPU)
+is installed, so instead of hand-transcribed oracles these tests import the
+reference code itself:
+
+  * model parity: instantiate the reference GSTA (vmgn builder,
+    torchreid/models/vmgn.py:214) / gsta (gsta.py:340) with random weights,
+    convert the torch state dict via weight_convert, and assert the Flax
+    eval features match the torch eval features;
+  * metric parity: call torchreid/metrics/rank.py's evaluate_mars /
+    eval_market1501 / eval_cuhk03 directly and assert equality with the
+    vectorized implementations.
+
+The reference is treated as an untrusted oracle: we import and execute its
+public functions, nothing more.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_on_path():
+    """Put the reference repo on sys.path with a torchvision stub
+    (torchvision is not installed; sta.py/graphnet.py import it at module
+    level but the classes under test never touch it)."""
+    sys.path.insert(0, REF)
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace()
+        sys.modules["torchvision"] = tv
+    yield
+    if stubbed:
+        del sys.modules["torchvision"]
+    sys.path.remove(REF)
+
+
+def _randomize_bn_stats(tmodel, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _clip_inputs(rng, B=2, S=4, H=128, W=64, V=28):
+    x = rng.rand(B, S, 3, H, W).astype(np.float32)
+    adj = (rng.rand(B, V, V) + np.eye(V)).astype(np.float32)
+    return x, adj
+
+
+def _flax_variables_from_torch(model_flax, tmodel, seq_len, height, width):
+    import jax
+
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.weight_convert import convert_torch_state_dict, merge_converted
+
+    variables = init_params(
+        model_flax, jax.random.PRNGKey(0),
+        seq_len=seq_len, height=height, width=width, batch_size=1,
+    )
+    converted, unmapped = convert_torch_state_dict(tmodel.state_dict())
+    assert not unmapped, unmapped[:5]
+    merged, matched, skipped = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skipped, skipped[:5]
+    return merged
+
+
+def test_vmgn_full_model_parity_vs_reference():
+    """Reference GSTA-as-built-by-vmgn() vs agrl_tpu VMGN: eval features
+    (4096-d cat[g_bn, att_bn]) must match through weight conversion."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    ref_vmgn = importlib.import_module("torchreid.models.vmgn")
+    # the reference constructor downloads ImageNet weights (vmgn.py:225);
+    # no egress here and parity needs random weights anyway
+    orig_init = ref_vmgn.init_pretrained_weights
+    ref_vmgn.init_pretrained_weights = lambda *a, **k: None
+    try:
+        tmodel = ref_vmgn.GSTA(
+            num_classes=10, loss={"xent", "htri"}, block=ref_vmgn.Bottleneck,
+            layers=[3, 4, 6, 3], num_split=4, pyramid_part=True, num_gb=2,
+            use_pose=True, learn_graph=True, consistent_loss=False,
+        ).eval()
+    finally:
+        ref_vmgn.init_pretrained_weights = orig_init
+    _randomize_bn_stats(tmodel)
+
+    rng = np.random.RandomState(0)
+    x, adj = _clip_inputs(rng)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x), torch.tensor(adj)).numpy()  # (2, 4096)
+
+    from agrl_tpu.models.vmgn import vmgn
+
+    fmodel = vmgn(num_classes=10, loss={"xent", "htri"})
+    merged = _flax_variables_from_torch(fmodel, tmodel, seq_len=4, height=128, width=64)
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    got = np.asarray(fmodel.apply(merged, x_nhwc, jnp.asarray(adj), train=False))
+
+    assert got.shape == want.shape == (2, 4096)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_gsta_full_model_parity_vs_reference():
+    import importlib
+
+    import jax.numpy as jnp
+
+    ref_gsta = importlib.import_module("torchreid.models.gsta")
+    tmodel = ref_gsta.gsta(
+        num_classes=10, loss={"xent", "htri"}, last_stride=1, num_split=4,
+        num_gb=2, num_scale=1, pyramid_part=True, use_pose=True,
+        learn_graph=True, pretrained=False,
+    ).eval()
+    _randomize_bn_stats(tmodel, seed=1)
+
+    rng = np.random.RandomState(1)
+    x, adj = _clip_inputs(rng)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x), torch.tensor(adj)).numpy()  # (2, 2048)
+
+    from agrl_tpu.models.gsta import gsta as gsta_flax
+
+    fmodel = gsta_flax(num_classes=10, loss={"xent", "htri"})
+    merged = _flax_variables_from_torch(fmodel, tmodel, seq_len=4, height=128, width=64)
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    got = np.asarray(fmodel.apply(merged, x_nhwc, jnp.asarray(adj), train=False))
+
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# metric parity: call the reference's own rank.py functions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_rank(ref_on_path):
+    import importlib
+
+    # the reference imports sklearn.metrics.base (removed in sklearn>=0.24);
+    # the function it wants lives in sklearn.metrics._base now
+    if "sklearn.metrics.base" not in sys.modules:
+        from sklearn.metrics import _base as _sk_base
+
+        shim = types.ModuleType("sklearn.metrics.base")
+        shim._average_binary_score = _sk_base._average_binary_score
+        sys.modules["sklearn.metrics.base"] = shim
+    return importlib.import_module("torchreid.metrics.rank")
+
+
+def _problem(seed, **kw):
+    from .oracles import make_reid_problem
+
+    return make_reid_problem(np.random.RandomState(seed), **kw)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_evaluate_mars_vs_reference(ref_rank, seed):
+    from agrl_tpu.metrics.rank import evaluate_mars
+
+    dist, qp, gp, qc, gc = _problem(seed)
+    cmc_r, map_r = ref_rank.evaluate_mars(dist, qp, gp, qc, gc, max_rank=50)
+    cmc_v, map_v = evaluate_mars(dist, qp, gp, qc, gc, max_rank=50)
+    np.testing.assert_allclose(cmc_v, cmc_r, atol=1e-12)
+    np.testing.assert_allclose(map_v, map_r, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_eval_market1501_vs_reference(ref_rank, seed):
+    from agrl_tpu.metrics.rank import eval_market1501
+
+    dist, qp, gp, qc, gc = _problem(seed)
+    cmc_r, map_r = ref_rank.eval_market1501(dist, qp, gp, qc, gc, 50)
+    cmc_v, map_v = eval_market1501(dist, qp, gp, qc, gc, max_rank=50)
+    np.testing.assert_allclose(cmc_v, cmc_r[:50], atol=1e-6)
+    np.testing.assert_allclose(map_v, map_r, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_eval_cuhk03_vs_reference(ref_rank, seed, monkeypatch):
+    """Both implementations consume np.random in the same order (per-query
+    insertion-ordered pid dict, repeats outer / pids inner), so seeding
+    identically must give bit-equal CMC."""
+    from agrl_tpu.metrics.rank import eval_cuhk03
+
+    # the reference uses the np.bool alias (removed in numpy 1.24,
+    # reintroduced in numpy 2.0) — shim only if this numpy lacks it
+    if not hasattr(np, "bool"):
+        monkeypatch.setattr(np, "bool", np.bool_, raising=False)
+
+    # max_rank < num_pids so every query's single-shot list is >= max_rank
+    # long: the reference's variable-length rows and our padded rows agree
+    # (the pad-with-last-value extension only matters below that regime)
+    dist, qp, gp, qc, gc = _problem(seed, num_q=12, num_g=80, num_pids=10)
+    np.random.seed(1234)
+    cmc_r, map_r = ref_rank.eval_cuhk03(dist, qp, gp, qc, gc, 5)
+    np.random.seed(1234)
+    cmc_v, map_v = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=5)
+    np.testing.assert_allclose(cmc_v, cmc_r, atol=1e-6)
+    np.testing.assert_allclose(map_v, map_r, atol=1e-12)
