@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "graph/losses (~1.6x faster; vmgn family)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax profiler trace of one train epoch into this dir")
+    p.add_argument("--cache-frames", action="store_true",
+                   help="cache decoded frames in host RAM across epochs "
+                        "(~H*W*3 bytes per distinct frame; keeps the input "
+                        "pipeline off the critical path after epoch one)")
     p.add_argument("--use-cpu", action="store_true")
     p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
     p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
@@ -166,6 +170,7 @@ def run(args):
         num_scale=args.num_scale,
         pyramid_part=args.pyramid_part,
         enable_pose=args.use_pose,
+        cache_frames=args.cache_frames,
     )
     train_ds = VideoClipDataset(dataset.train, seq_len=args.seq_len, sample=args.train_sample, **ds_kwargs)
     query_ds = VideoClipDataset(dataset.query, seq_len=args.seq_len, sample=args.test_sample, **ds_kwargs)

@@ -1,0 +1,73 @@
+"""ctypes binding for the native batched JPEG decoder (native/jpeg_decode.cpp).
+
+The host-side counterpart of the reference's PIL reader behind 8 DataLoader
+workers (train_vidreid_xent_htri.py:222-247, dataset_loader.py:23-36): one C
+call decodes a whole batch of frames — no per-image Python overhead, DCT
+downscaling when sources exceed the target, fixed-point bilinear resize.
+~2.5x the PIL path per core; bit-exact vs PIL when the source is already at
+target size.
+
+Falls back transparently: `available()` is False when the .so is missing
+(build with `make -C native`), and per-image failures (ok=0) are retried by
+the caller through the robust PIL reader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os.path as osp
+
+import numpy as np
+
+_CANDIDATES = (
+    osp.join(osp.dirname(__file__), "..", "..", "native", "libjpeg_decode.so"),
+    osp.join(osp.dirname(__file__), "libjpeg_decode.so"),
+)
+
+_lib = None
+for _p in _CANDIDATES:
+    if osp.exists(_p):
+        try:
+            _lib = ctypes.CDLL(_p)
+            break
+        except OSError:
+            _lib = None
+if _lib is not None:
+    _lib.decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    _lib.decode_resize_batch.restype = None
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def decode_resize_batch(paths, height: int, width: int, threads: int = 0):
+    """Decode `paths` (JPEG files) to a (N, height, width, 3) uint8 batch.
+
+    Returns (imgs, sizes (N, 2) int32 original (w, h), ok (N,) bool).
+    Entries with ok=False are zero-filled; the caller must fall back."""
+    n = len(paths)
+    imgs = np.empty((n, height, width, 3), np.uint8)
+    sizes = np.empty((n, 2), np.int32)
+    ok = np.empty(n, np.uint8)
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    _lib.decode_resize_batch(
+        cpaths,
+        ctypes.c_int64(n),
+        ctypes.c_int64(height),
+        ctypes.c_int64(width),
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(threads),
+    )
+    return imgs, sizes, ok.astype(bool)

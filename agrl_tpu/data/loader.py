@@ -65,6 +65,7 @@ class VideoClipDataset:
         enable_pose: bool = True,
         max_len: int = 1000,
         key_fn=None,
+        cache_frames: bool = False,
     ):
         self.tracklets = tracklets
         self.seq_len = seq_len
@@ -73,6 +74,16 @@ class VideoClipDataset:
         self.width = width
         self.pose_info = pose_info if pose_info is not None else {}
         self.max_len = max_len
+        # decoded-frame reuse across epochs (~H*W*3 bytes/frame of host RAM;
+        # opt-in). Plain dict: GIL-atomic writes, duplicate decode at worst.
+        self.frame_cache: dict | None = {} if cache_frames else None
+        # eval-time samplers are deterministic (evenly/all/dense/skipdense
+        # never consume rng) -> cache the whole assembled item: repeat
+        # epochs skip decode, graph build AND frame stacking
+        self.item_cache: dict | None = (
+            {} if cache_frames and sample in ("evenly", "all", "dense", "skipdense")
+            else None
+        )
         self.graph_builder = GraphBuilder(
             num_split=num_split,
             num_parts=num_parts,
@@ -103,13 +114,25 @@ class VideoClipDataset:
         return self.graph_builder(poses, heights)
 
     def get_item(self, index: int, rng: np.random.RandomState | None = None):
+        if self.item_cache is not None:
+            hit = self.item_cache.get(index)
+            if hit is not None:
+                return hit
+            item = self._build_item(index, rng)
+            self.item_cache[index] = item
+            return item
+        return self._build_item(index, rng)
+
+    def _build_item(self, index: int, rng: np.random.RandomState | None = None):
         img_paths, pid, camid = self.tracklets[index]
         num = min(len(img_paths), self.max_len)
         img_paths = img_paths[:num]
         indices = sample_clip_indices(num, self.seq_len, self.sample, rng, self.max_len)
 
         chosen = [img_paths[int(i)] for i in indices]
-        imgs, sizes = host_decode_resize(chosen, self.height, self.width)
+        imgs, sizes = host_decode_resize(
+            chosen, self.height, self.width, cache=self.frame_cache
+        )
 
         if self.sample in ("dense", "skipdense"):
             n = len(indices) // self.seq_len
@@ -177,7 +200,18 @@ class ClipLoader:
         if rem and not self.drop_last:
             batches.append(indices[nb * self.batch_size :])
 
-        # per-item rng seeded from the loader stream => reproducible epochs
+        # per-item rng seeded from the loader stream => reproducible epochs.
+        # single-worker fast path skips the thread pool entirely (on a
+        # 1-core TPU host the pool only adds contention)
+        if self.num_workers == 1:
+            for batch_idxs in batches:
+                seeds = self.rng.randint(0, 2**31 - 1, size=len(batch_idxs))
+                items = [
+                    self.dataset.get_item(i, np.random.RandomState(s))
+                    for i, s in zip(batch_idxs, seeds)
+                ]
+                yield self._collate(items)
+            return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for batch_idxs in batches:
                 seeds = self.rng.randint(0, 2**31 - 1, size=len(batch_idxs))
@@ -189,11 +223,15 @@ class ClipLoader:
                         zip(batch_idxs, seeds),
                     )
                 )
-                imgs = np.stack([it[0] for it in items])
-                pids = np.asarray([it[1] for it in items], dtype=np.int32)
-                camids = np.asarray([it[2] for it in items], dtype=np.int32)
-                adjs = np.stack([it[3] for it in items]).astype(np.float32)
-                yield imgs, pids, camids, adjs
+                yield self._collate(items)
+
+    @staticmethod
+    def _collate(items):
+        imgs = np.stack([it[0] for it in items])
+        pids = np.asarray([it[1] for it in items], dtype=np.int32)
+        camids = np.asarray([it[2] for it in items], dtype=np.int32)
+        adjs = np.stack([it[3] for it in items]).astype(np.float32)
+        return imgs, pids, camids, adjs
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -37,20 +37,58 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def host_decode_resize(paths, height: int, width: int) -> tuple[np.ndarray, list]:
+def host_decode_resize(
+    paths, height: int, width: int, cache: dict | None = None
+) -> tuple[np.ndarray, list]:
     """Read + resize frames on host. Returns (S, H, W, 3) uint8 and the
     ORIGINAL (w, h) sizes (the graph builder needs them).
 
-    IO errors retry forever like the reference's robust reader
-    (dataset_loader.py:23-36)."""
-    from PIL import Image
+    Fast path: the native batched libjpeg decoder (native/jpeg_decode.cpp)
+    when built — one C call per clip instead of per-image PIL. Per-image
+    failures (and non-JPEG files) fall back to the robust PIL reader, which
+    retries IO errors forever like the reference (dataset_loader.py:23-36).
+
+    `cache`: optional {path: (img_u8, (w, h))} dict — decoded frames are
+    reused across epochs (the reference re-decodes every epoch; on a
+    few-core TPU host the cache keeps the input pipeline off the critical
+    path after epoch one)."""
+    if cache is not None:
+        missing = [p for p in paths if p not in cache]
+        if missing:
+            imgs_m, sizes_m = _decode_batch(missing, height, width)
+            for i, p in enumerate(missing):
+                cache[p] = (imgs_m[i], sizes_m[i])
+        frames = np.stack([cache[p][0] for p in paths])
+        return frames, [cache[p][1] for p in paths]
+    return _decode_batch(paths, height, width)
+
+
+def _decode_batch(paths, height: int, width: int) -> tuple[np.ndarray, list]:
+    from agrl_tpu.data import jpeg_native
+
+    if jpeg_native.available() and all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in paths
+    ):
+        imgs, sizes, ok = jpeg_native.decode_resize_batch(paths, height, width)
+        if not ok.all():  # corrupt/missing entries -> robust PIL reader
+            for i in np.flatnonzero(~ok):
+                imgs[i], sizes[i] = _pil_decode_one(paths[i], height, width)
+        return imgs, [tuple(s) for s in sizes]
 
     frames, sizes = [], []
     for p in paths:
-        img = robust_read(p)
-        sizes.append(img.size)
-        frames.append(np.asarray(img.resize((width, height), Image.BILINEAR)))
+        img, size = _pil_decode_one(p, height, width)
+        sizes.append(size)
+        frames.append(img)
     return np.stack(frames), sizes
+
+
+def _pil_decode_one(path: str, height: int, width: int):
+    from PIL import Image
+
+    img = robust_read(path)
+    size = img.size
+    return np.asarray(img.resize((width, height), Image.BILINEAR)), size
 
 
 def robust_read(path: str):

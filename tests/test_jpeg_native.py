@@ -1,0 +1,84 @@
+"""Native batched JPEG decoder: parity vs PIL, fallback, frame cache."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from agrl_tpu.data import jpeg_native
+from agrl_tpu.data.transforms import host_decode_resize
+
+pytestmark = pytest.mark.skipif(
+    not jpeg_native.available(), reason="libjpeg_decode.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths, arrays = [], []
+    for i, (w, h) in enumerate([(128, 256), (128, 256), (64, 128), (300, 500)]):
+        # smooth content so resize comparisons are meaningful
+        small = (rng.rand(h // 8, w // 8, 3) * 255).astype(np.uint8)
+        img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+        p = str(root / f"{i}.jpg")
+        img.save(p, quality=92)
+        paths.append(p)
+        arrays.append(np.asarray(Image.open(p).convert("RGB")))
+    return paths, arrays
+
+
+def test_native_decode_at_size_is_bit_exact(jpegs):
+    paths, arrays = jpegs
+    imgs, sizes, ok = jpeg_native.decode_resize_batch(paths[:2], 256, 128)
+    assert ok.all()
+    np.testing.assert_array_equal(imgs[0], arrays[0])
+    np.testing.assert_array_equal(sizes[0], [128, 256])
+
+
+def test_native_decode_resize_close_to_pil(jpegs):
+    paths, arrays = jpegs
+    imgs, sizes, ok = jpeg_native.decode_resize_batch(paths, 256, 128)
+    assert ok.all()
+    for i, p in enumerate(paths):
+        want = np.asarray(
+            Image.open(p).convert("RGB").resize((128, 256), Image.BILINEAR)
+        )
+        diff = np.abs(imgs[i].astype(int) - want.astype(int))
+        # different (but both correct) bilinear implementations; the DCT
+        # downscale path (300x500 source) adds a little more smoothing
+        assert diff.mean() < 6.0, (i, diff.mean())
+    np.testing.assert_array_equal(sizes[3], [300, 500])
+
+
+def test_native_decode_bad_file_falls_back(tmp_path, jpegs):
+    paths, _ = jpegs
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+    imgs, sizes, ok = jpeg_native.decode_resize_batch([paths[0], bad], 64, 32)
+    assert ok[0] and not ok[1]
+
+
+def test_host_decode_resize_cache_avoids_reread(tmp_path):
+    rng = np.random.RandomState(1)
+    img = Image.fromarray((rng.rand(32, 16, 3) * 255).astype(np.uint8))
+    p = str(tmp_path / "x.jpg")
+    img.save(p)
+    cache = {}
+    first, sizes1 = host_decode_resize([p], 32, 16, cache=cache)
+    os.remove(p)  # cached -> second call must not touch the file
+    second, sizes2 = host_decode_resize([p], 32, 16, cache=cache)
+    np.testing.assert_array_equal(first, second)
+    assert sizes1 == sizes2
+
+
+def test_host_decode_resize_native_matches_pil_path(jpegs, monkeypatch):
+    paths, _ = jpegs
+    native_imgs, native_sizes = host_decode_resize(paths[:2], 256, 128)
+    monkeypatch.setattr(jpeg_native, "_lib", None)
+    pil_imgs, pil_sizes = host_decode_resize(paths[:2], 256, 128)
+    np.testing.assert_array_equal(native_imgs, pil_imgs)  # at-size: exact
+    assert list(native_sizes) == list(pil_sizes)
