@@ -14,6 +14,13 @@ Differences from v1 (ops/graph_conv.py):
 Measured on TPU v5e-1 (B=16, V=56, C=2048, CT=256, clip_group=8):
 0.48 ms vs 0.67 ms XLA-fused jnp and 0.60 ms v1 — 1.4x faster than XLA.
 Max abs error vs the f32 reference on bf16-rounded inputs: 8.5e-5.
+
+Product status (round 2, see PROFILE.md): wired into GraphConvLayer's
+eval path and measured inside the FULL VMGN forward — 51.2 vs 51.6
+ms/batch64, i.e. noise (the graph layers are <2% of the pipeline at the
+shipped V=56/num_gb=2 config). The product flag was therefore removed;
+this kernel stays parity-tested as optimization infrastructure for
+configurations with larger V or num_gb.
 """
 
 from __future__ import annotations
@@ -104,7 +111,7 @@ def graph_propagate_pallas_v2(
     re-read once per group — B/clip_group total reads vs v1's B)."""
     B, V, C = f.shape
     if B > clip_group:
-        assert B % clip_group == 0, "batch must divide into clip groups"
+        # remainder chunks just run with a smaller VMEM clip residency
         outs = [
             graph_propagate_pallas_v2(
                 f[i : i + clip_group], adj[i : i + clip_group], W, scale, bias,
