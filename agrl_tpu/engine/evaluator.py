@@ -8,9 +8,9 @@ MARS-protocol CMC/mAP by default; same console result block.
 
 TPU-first details:
   * preprocessing (normalize) runs on device fused into the forward;
-  * dense tracklets pad their clip count to power-of-two buckets so XLA
-    compiles a handful of shapes instead of one per tracklet length;
-    pooling is mask-aware (padded clips don't bias avg/max);
+  * dense tracklets pack their clip streams ACROSS tracklets into one
+    fixed (clip_batch, ...) device shape (one XLA compilation, full
+    batches); pooling accumulates per tracklet as slices arrive;
   * the distance matrix is one MXU matmul; with a mesh the gallery axis
     shards over 'dp' (agrl_tpu.ops.distmat.sharded_distmat).
 """
@@ -29,21 +29,16 @@ from agrl_tpu.ops.distmat import compute_distmat
 from agrl_tpu.utils.avgmeter import AverageMeter
 
 
-def _bucket(n: int, min_bucket: int = 1) -> int:
-    b = max(min_bucket, 1)
-    while b < n:
-        b *= 2
-    return b
-
-
 class Evaluator:
     def __init__(
-        self, model, test_sample: str = "evenly", pool: str = "avg", bf16: bool = False
+        self, model, test_sample: str = "evenly", pool: str = "avg", bf16: bool = False,
+        clip_batch: int = 64,
     ):
         self.model = model
         self.test_sample = test_sample
         self.pool = pool
         self.bf16 = bf16
+        self.clip_batch = clip_batch
         # key created lazily: a module-level PRNGKey would initialize the
         # JAX backend at import time, defeating late platform selection
         zero_key = jax.random.PRNGKey(0)  # eval preprocessing is deterministic
@@ -68,34 +63,91 @@ class Evaluator:
 
     def extract(self, variables, loader, name: str = "query"):
         """Returns (features (N, D) np, pids, camids)."""
+        if self.test_sample in ("dense", "skipdense"):
+            return self._extract_dense_packed(variables, loader, name)
         feats, pids, camids = [], [], []
         batch_time = AverageMeter()
-        dense = self.test_sample in ("dense", "skipdense")
         for imgs, bpids, bcamids, adjs in loader:
             t0 = time.time()
-            if dense:
-                # batch element = tracklet of n clips (loader batch size 1)
-                b, n, s = imgs.shape[:3]
-                imgs = imgs.reshape(b * n, *imgs.shape[2:])
-                adjs = adjs.reshape(b * n, *adjs.shape[2:])
-                n_pad = _bucket(b * n)
-                pad = n_pad - b * n
-                if pad:
-                    imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
-                    adjs = np.concatenate([adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)])
-                f = np.asarray(self._fwd(variables, imgs, adjs))
-                valid = f[: b * n]
-                if self.pool == "avg":
-                    f = valid.mean(axis=0, keepdims=True)
-                else:
-                    f = valid.max(axis=0, keepdims=True)
-            else:
-                f = np.asarray(self._fwd(variables, imgs, adjs))
+            f = np.asarray(self._fwd(variables, imgs, adjs))
             batch_time.update(time.time() - t0)
             feats.append(f)
             pids.extend(np.asarray(bpids).tolist())
             camids.extend(np.asarray(bcamids).tolist())
         features = np.concatenate(feats, axis=0)
+        print(
+            f"Extracted features for {name} set, obtained "
+            f"{features.shape[0]}-by-{features.shape[1]} matrix"
+        )
+        return features, np.asarray(pids), np.asarray(camids), batch_time
+
+    def _extract_dense_packed(self, variables, loader, name: str):
+        """dense/skipdense extraction with CROSS-TRACKLET clip packing.
+
+        The reference runs one forward per tracklet (its n clips as the
+        batch, train_vidreid_xent_htri.py:461-476) — typical MARS tracklets
+        yield ~8 clips, far under the chip's efficient batch. Here the clip
+        streams of consecutive tracklets pack into fixed (clip_batch, ...)
+        device batches (ONE compiled shape); a tracklet's clips may straddle
+        batches, and its avg/max clip-feature pooling accumulates on host as
+        slices arrive — numerically the same mean/max over the same set.
+        """
+        CB = self.clip_batch
+        batch_time = AverageMeter()
+        pend_imgs, pend_adjs, pend_seg = [], [], []  # flat clip stream
+        pooled, pids, camids = [], [], []
+        acc = {}  # tracklet idx -> [sum_or_max (D,), clip_count]
+
+        def flush(final: bool = False):
+            while pend_imgs and (final or len(pend_imgs) >= CB):
+                take = min(CB, len(pend_imgs))
+                imgs = np.stack(pend_imgs[:take])
+                adjs = np.stack(pend_adjs[:take])
+                segs = pend_seg[:take]
+                del pend_imgs[:take], pend_adjs[:take], pend_seg[:take]
+                pad = CB - take
+                if pad:  # tail batch: reuse the same compiled shape
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                    )
+                    adjs = np.concatenate(
+                        [adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)]
+                    )
+                t0 = time.time()
+                f = np.asarray(self._fwd(variables, imgs, adjs))[:take]
+                batch_time.update(time.time() - t0)
+                for row, seg in zip(f, segs):
+                    entry = acc.get(seg)
+                    if entry is None:
+                        acc[seg] = [row.astype(np.float64), 1]
+                    elif self.pool == "avg":
+                        entry[0] += row
+                        entry[1] += 1
+                    else:
+                        np.maximum(entry[0], row, out=entry[0])
+                        entry[1] += 1
+
+        n_tracklets = 0
+        for imgs, bpids, bcamids, adjs in loader:
+            # loader batch size 1: imgs (1, n, S, H, W, 3), adjs (1, n, V, V)
+            b, n = imgs.shape[:2]
+            for bi in range(b):
+                seg = n_tracklets
+                n_tracklets += 1
+                pids.append(int(np.asarray(bpids)[bi]))
+                camids.append(int(np.asarray(bcamids)[bi]))
+                for ci in range(n):
+                    pend_imgs.append(imgs[bi, ci])
+                    pend_adjs.append(adjs[bi, ci])
+                    pend_seg.append(seg)
+            flush()
+        flush(final=True)
+
+        D = next(iter(acc.values()))[0].shape[0]
+        features = np.empty((n_tracklets, D), np.float32)
+        for seg in range(n_tracklets):
+            total, cnt = acc[seg]
+            features[seg] = total / cnt if self.pool == "avg" else total
         print(
             f"Extracted features for {name} set, obtained "
             f"{features.shape[0]}-by-{features.shape[1]} matrix"
