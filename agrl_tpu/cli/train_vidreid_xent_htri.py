@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
     # Devices (TPU mesh; GPU flags accepted for script compatibility)
     p.add_argument("--mesh-dp", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh-mp", type=int, default=1, help="model-parallel mesh size")
+    # Multi-host launch (jax.distributed; one process per host)
+    p.add_argument("--dist-coordinator", type=str, default="",
+                   help="coordinator address host:port for jax.distributed "
+                        "(multi-host); empty = single process or TPU auto-detect")
+    p.add_argument("--dist-num-processes", type=int, default=0,
+                   help="total process count for jax.distributed (0 = auto)")
+    p.add_argument("--dist-process-id", type=int, default=-1,
+                   help="this process's id for jax.distributed (-1 = auto)")
     p.add_argument("--bf16-eval", action="store_true",
                    help="bfloat16 feature extraction (~1.5x faster, ~3e-4 feature error)")
     p.add_argument("--bf16-train", action="store_true",
@@ -149,6 +157,16 @@ def run(args):
     if args.use_cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    if args.dist_coordinator or args.dist_num_processes:
+        from agrl_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.dist_coordinator or None,
+            num_processes=args.dist_num_processes or None,
+            process_id=args.dist_process_id if args.dist_process_id >= 0 else None,
+        )
+    is_main = jax.process_index() == 0
+
     mode = "test" if args.evaluate else "train"
     stamp = time.strftime("-%Y-%m-%d-%H-%M-%S")
     sys.stdout = Logger(osp.join(args.save_dir, f"log_{mode}{stamp}.txt"))
@@ -179,9 +197,17 @@ def run(args):
     sampler = init_sampler(
         args.train_sampler, dataset.train, args.train_batch, args.num_instances, seed=args.seed
     )
+    # multi-host: every host runs the identically-seeded sampler and loads
+    # only its train_batch/process_count slice of each batch
+    shard = (
+        (jax.process_index(), jax.process_count())
+        if jax.process_count() > 1
+        else None
+    )
     trainloader = ClipLoader(
         train_ds, batch_size=args.train_batch, sampler=sampler,
         drop_last=True, num_workers=args.workers, seed=args.seed,
+        process_shard=shard,
     )
     # variable-length items (dense/skipdense/all) require per-tracklet batches
     test_batch = 1 if args.test_sample in ("dense", "skipdense", "all") else args.test_batch
@@ -352,13 +378,14 @@ def run(args):
             is_best = rank1 > best_rank1
             if is_best:
                 best_rank1, best_mAP, best_epoch = rank1, mAP, epoch + 1
-            save_checkpoint(
-                {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state},
-                osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack"),
-                epoch=epoch, rank1=float(rank1), mAP=float(mAP), is_best=is_best,
-            )
-            writer.add_scalar("acc/rank1", float(rank1), epoch + 1)
-            writer.add_scalar("acc/mAP", float(mAP), epoch + 1)
+            if is_main:  # one checkpoint/scalar writer per job, not per host
+                save_checkpoint(
+                    {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state},
+                    osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack"),
+                    epoch=epoch, rank1=float(rank1), mAP=float(mAP), is_best=is_best,
+                )
+                writer.add_scalar("acc/rank1", float(rank1), epoch + 1)
+                writer.add_scalar("acc/mAP", float(mAP), epoch + 1)
 
     print(f"==> Best Rank-1 {best_rank1:.2%}, mAP: {best_mAP:.2%}, achieved at epoch {best_epoch}")
     elapsed = str(datetime.timedelta(seconds=round(time.time() - start_time)))

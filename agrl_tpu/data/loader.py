@@ -166,7 +166,13 @@ class ClipLoader:
         drop_last: bool = False,
         num_workers: int = 8,
         seed: int | None = None,
+        process_shard: tuple[int, int] | None = None,
     ):
+        """`process_shard=(process_id, num_processes)`: multi-host data
+        loading — every host runs the SAME (identically seeded) sampler but
+        materializes only its contiguous `batch_size/num_processes` slice of
+        each batch; parallel.mesh.put_global reassembles the global batch
+        from the per-host shards."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -174,6 +180,13 @@ class ClipLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.rng = np.random.RandomState(seed)
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc
+            assert batch_size % nproc == 0, (
+                f"batch {batch_size} must divide over {nproc} processes"
+            )
+        self.process_shard = process_shard
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -200,12 +213,27 @@ class ClipLoader:
         if rem and not self.drop_last:
             batches.append(indices[nb * self.batch_size :])
 
-        # per-item rng seeded from the loader stream => reproducible epochs.
+        # per-item rng seeds drawn from the GLOBAL batch stream first, so a
+        # sharded host sees the same seed an unsharded run would assign to
+        # that item (identical sampler+rng state on every host)
+        seeded = [
+            (b, self.rng.randint(0, 2**31 - 1, size=len(b))) for b in batches
+        ]
+        if self.process_shard is not None:
+            # each host keeps its contiguous slice of every batch (ragged
+            # tails drop the indivisible remainder)
+            pid, nproc = self.process_shard
+            sharded = []
+            for b, s in seeded:
+                k = len(b) // nproc
+                if k:
+                    sharded.append((b[pid * k : (pid + 1) * k], s[pid * k : (pid + 1) * k]))
+            seeded = sharded
+
         # single-worker fast path skips the thread pool entirely (on a
         # 1-core TPU host the pool only adds contention)
         if self.num_workers == 1:
-            for batch_idxs in batches:
-                seeds = self.rng.randint(0, 2**31 - 1, size=len(batch_idxs))
+            for batch_idxs, seeds in seeded:
                 items = [
                     self.dataset.get_item(i, np.random.RandomState(s))
                     for i, s in zip(batch_idxs, seeds)
@@ -213,8 +241,7 @@ class ClipLoader:
                 yield self._collate(items)
             return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for batch_idxs in batches:
-                seeds = self.rng.randint(0, 2**31 - 1, size=len(batch_idxs))
+            for batch_idxs, seeds in seeded:
                 items = list(
                     pool.map(
                         lambda a: self.dataset.get_item(
@@ -246,9 +273,11 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     queue = collections.deque()
 
+    from agrl_tpu.parallel.mesh import put_global
+
     def put(batch):
         if sharding is not None:
-            return tuple(jax.device_put(a, s) for a, s in zip(batch, sharding))
+            return tuple(put_global(a, s) for a, s in zip(batch, sharding))
         return tuple(jax.device_put(a) for a in batch)
 
     it = iter(iterator)

@@ -1,15 +1,19 @@
 from agrl_tpu.parallel.mesh import (
     batch_sharding,
+    initialize_distributed,
     make_mesh,
     param_shardings,
+    put_global,
     replicated,
     shard_batch,
 )
 
 __all__ = [
     "batch_sharding",
+    "initialize_distributed",
     "make_mesh",
     "param_shardings",
+    "put_global",
     "replicated",
     "shard_batch",
 ]

@@ -57,6 +57,19 @@ def make_mesh(
     return Mesh(grid, axis_names=("dp", "mp"))
 
 
+def put_global(a, sharding: NamedSharding):
+    """device_put that also works across processes.
+
+    Single process: plain jax.device_put. Multi-process: `a` is THIS
+    process's shard of the batch (or the full array for replicated
+    shardings) and the result is a global jax.Array assembled from every
+    process's local data (jax.make_array_from_process_local_data) — the
+    per-host data loading story of SURVEY.md §2.8."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(a))
+    return jax.device_put(a, sharding)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,68 @@
+"""Shared fixture logic for the multi-process test: a deterministic
+two-step sharded training run that can execute either single-process
+(8 local virtual devices) or as one process of a multi-host job."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def run_two_steps(shard: tuple[int, int] | None = None):
+    """Two sharded train steps on an all-devices 'dp' mesh.
+
+    `shard=(pid, nproc)`: this process holds only its contiguous slice of
+    the deterministic global batch (multi-host data loading); None = the
+    full batch (single process). Returns the step-2 metrics dict."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from agrl_tpu.engine import create_train_state, make_train_step
+    from agrl_tpu.models.vmgn import VMGN
+    from agrl_tpu.optim import init_optim
+    from agrl_tpu.parallel import batch_sharding, make_mesh, put_global, replicated
+
+    mesh = make_mesh(dp=len(jax.devices()), mp=1)
+    model = VMGN(
+        num_classes=4, layers=(1, 1, 1, 1), num_split=4, pyramid_part=True, num_gb=1
+    )
+    tx = init_optim("adam", 1e-3, weight_decay=5e-4)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=4, height=32, width=16, batch_size=1
+    )
+    rep = replicated(mesh)
+
+    def to_global(tree):
+        return jax.tree.map(lambda a: put_global(np.asarray(a), rep), tree)
+
+    state = state.replace(
+        params=to_global(state.params),
+        batch_stats=to_global(state.batch_stats),
+        opt_state=to_global(state.opt_state),
+        step=put_global(np.asarray(state.step), rep),
+    )
+
+    rng = np.random.RandomState(0)
+    B, S, H, W = 8, 4, 32, 16
+    V = S * model.total_split
+    x = rng.rand(B, S, H, W, 3).astype(np.float32)
+    adj = (rng.rand(B, V, V) > 0.5).astype(np.float32)
+    pids = rng.randint(0, 4, B).astype(np.int32)
+    if shard is not None:
+        pid, nproc = shard
+        k = B // nproc
+        x, adj, pids = (a[pid * k : (pid + 1) * k] for a in (x, adj, pids))
+
+    step_fn = make_train_step(model, tx, donate=False)
+    with mesh:
+        xs = put_global(x, batch_sharding(mesh, 5))
+        adjs = put_global(adj, batch_sharding(mesh, 3))
+        pids_d = put_global(pids, batch_sharding(mesh, 1))
+        metrics = None
+        for i in range(2):
+            state, metrics = step_fn(state, xs, pids_d, adjs, jax.random.PRNGKey(7 + i))
+        jax.block_until_ready(metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    print({k: float(np.asarray(v)) for k, v in run_two_steps().items()})
