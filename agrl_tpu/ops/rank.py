@@ -171,3 +171,100 @@ def evaluate_mars_device(
         idx, jnp.asarray(q_pids), jnp.asarray(g_pids),
         jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=max_rank,
     )
+
+
+@partial(jax.jit, static_argnames=("max_rank", "num_repeats"))
+def cuhk03_cmc_map(
+    distmat,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    key,
+    max_rank: int = 50,
+    num_repeats: int = 10,
+):
+    """cuhk03 protocol fully on device (reference rank.py:22-92 and
+    rank_cylib/rank_cy.pyx:35-151).
+
+    The protocol's per-query single-gallery-shot resampling — one random
+    kept slot per distinct gallery pid, `num_repeats` times — vectorizes
+    as a sort-based segmented argmin: draw iid uniforms per slot, sort
+    each query's kept slots by the composite key (pid + u), and the first
+    slot of every pid segment is that pid's sample. The masked CMC then
+    collapses to `rank >= r0` where r0 counts chosen slots that precede
+    the query pid's chosen slot in the original ranking.
+
+    Sampling uses the JAX PRNG (`key`): statistically identical to the
+    reference's np.random.choice but not draw-for-draw reproducible
+    against it; the deterministic parts (AP, keep/valid logic, and the
+    one-slot-per-pid degenerate case) match the NumPy path exactly.
+    """
+    distmat = jnp.asarray(distmat)
+    q_pids = jnp.asarray(q_pids)
+    g_pids = jnp.asarray(g_pids)
+    q_camids = jnp.asarray(q_camids)
+    g_camids = jnp.asarray(g_camids)
+    Q, G = distmat.shape
+
+    indices = jnp.argsort(distmat, axis=1)
+    g_pid_s = g_pids[indices]
+    g_cam_s = g_camids[indices]
+    match = g_pid_s == q_pids[:, None]
+    keep = ~(match & (g_cam_s == q_camids[:, None]))
+    good = match & keep
+
+    # kept-rank (0-based position among kept slots) of every sorted slot
+    j = jnp.cumsum(keep, axis=1)
+    pos = j - 1
+
+    # ---- AP over the full kept ranking (deterministic, = market1501) ----
+    cs = jnp.cumsum(good, axis=1)
+    num_rel = good.sum(axis=1)
+    valid = num_rel > 0
+    prec = jnp.where(good, cs / jnp.maximum(j, 1), 0.0)
+    ap = prec.sum(axis=1) / jnp.maximum(num_rel, 1)
+
+    # ---- single-gallery-shot CMC, num_repeats vectorized rounds ----
+    # sample one slot per pid segment: random permutation (argsort of iid
+    # uniforms) then STABLE sort by pid — the first slot of each pid
+    # segment is a uniform draw from that pid's kept slots. Exact integer
+    # keys: no composite-float precision traps. Non-kept slots sink to a
+    # sentinel pid segment at the end.
+    sentinel = jnp.iinfo(jnp.int32).max
+    pid_keyed = jnp.where(keep, g_pid_s.astype(jnp.int64), sentinel)
+    ranks = jnp.arange(max_rank)
+
+    def one_round(carry, rk):
+        u = jax.random.uniform(rk, (Q, G))
+        ord_u = jnp.argsort(u, axis=1)  # random permutation per query
+        pid_perm = jnp.take_along_axis(pid_keyed, ord_u, axis=1)
+        ord_pid = jnp.argsort(pid_perm, axis=1, stable=True)
+        order2 = jnp.take_along_axis(ord_u, ord_pid, axis=1)
+        pid_sorted = jnp.take_along_axis(g_pid_s, order2, axis=1)
+        keep_sorted = jnp.take_along_axis(keep, order2, axis=1)
+        pos_sorted = jnp.take_along_axis(pos, order2, axis=1)
+        first = jnp.concatenate(
+            [
+                jnp.ones((Q, 1), bool),
+                pid_sorted[:, 1:] != pid_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        chosen = first & keep_sorted  # one slot per distinct kept pid
+        # the query pid's chosen slot position in the kept ranking
+        is_q = chosen & (pid_sorted == q_pids[:, None])
+        pos_star = jnp.where(is_q, pos_sorted, 0).sum(axis=1)
+        # #other pids whose chosen slot precedes it
+        r0 = (chosen & (pos_sorted < pos_star[:, None])).sum(axis=1)
+        cmc_round = (ranks[None, :] >= r0[:, None]).astype(jnp.float32)
+        return carry + cmc_round, None
+
+    keys = jax.random.split(key, num_repeats)
+    cmc_sum, _ = jax.lax.scan(one_round, jnp.zeros((Q, max_rank), jnp.float32), keys)
+    cmc_rows = cmc_sum / num_repeats
+
+    n_valid = jnp.maximum(valid.sum(), 1)
+    cmc = (cmc_rows * valid[:, None]).sum(axis=0) / n_valid
+    mAP = (ap * valid).sum() / n_valid
+    return cmc, mAP

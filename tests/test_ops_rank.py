@@ -96,3 +96,63 @@ def test_mars_device_small_gallery_no_good_query():
     np.testing.assert_allclose(np.asarray(cmc_d), cmc_o, atol=1e-6)
     np.testing.assert_allclose(float(map_d), map_o, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cmc_d), np.full(max_rank, 0.5))
+
+
+class TestCuhk03Device:
+    """Device cuhk03 (ops.rank.cuhk03_cmc_map) vs the NumPy path."""
+
+    def _problem(self, seed, **kw):
+        from .oracles import make_reid_problem
+
+        return make_reid_problem(np.random.RandomState(seed), **kw)
+
+    def test_ap_and_validity_exact(self):
+        """AP ignores the resampling -> must match NumPy exactly."""
+        from agrl_tpu.metrics.rank import eval_cuhk03
+        from agrl_tpu.ops.rank import cuhk03_cmc_map
+        import jax
+
+        dist, qp, gp, qc, gc = self._problem(0, num_q=15, num_g=120, num_pids=12)
+        np.random.seed(0)
+        _, map_np = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=10)
+        _, map_d = cuhk03_cmc_map(
+            dist, qp, gp, qc, gc, jax.random.PRNGKey(0), max_rank=10
+        )
+        np.testing.assert_allclose(float(map_d), map_np, atol=1e-6)
+
+    def test_single_slot_per_pid_is_deterministic_and_exact(self):
+        """Every gallery pid appears once -> sampling has one outcome; the
+        device CMC must equal the NumPy CMC bitwise."""
+        from agrl_tpu.metrics.rank import eval_cuhk03
+        from agrl_tpu.ops.rank import cuhk03_cmc_map
+        import jax
+
+        rng = np.random.RandomState(3)
+        num_pids = 40
+        gp = np.arange(num_pids)
+        qp = rng.randint(0, num_pids, 12)
+        qc = np.zeros(12, np.int64)
+        gc = np.ones(num_pids, np.int64)
+        dist = rng.rand(12, num_pids)
+        np.random.seed(0)
+        cmc_np, map_np = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=10)
+        cmc_d, map_d = cuhk03_cmc_map(
+            dist, qp, gp, qc, gc, jax.random.PRNGKey(1), max_rank=10
+        )
+        np.testing.assert_allclose(np.asarray(cmc_d), cmc_np, atol=1e-6)
+        np.testing.assert_allclose(float(map_d), map_np, atol=1e-6)
+
+    def test_cmc_statistical_parity(self):
+        """With many repeats both samplers converge to the same expected
+        CMC curve (different RNGs -> statistical, not bitwise, agreement)."""
+        from agrl_tpu.metrics.rank import eval_cuhk03
+        from agrl_tpu.ops.rank import cuhk03_cmc_map
+        import jax
+
+        dist, qp, gp, qc, gc = self._problem(7, num_q=25, num_g=150, num_pids=10)
+        np.random.seed(123)
+        cmc_np, _ = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=8, num_repeats=200)
+        cmc_d, _ = cuhk03_cmc_map(
+            dist, qp, gp, qc, gc, jax.random.PRNGKey(5), max_rank=8, num_repeats=200
+        )
+        np.testing.assert_allclose(np.asarray(cmc_d), cmc_np, atol=0.03)
