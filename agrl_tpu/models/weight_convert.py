@@ -101,6 +101,26 @@ def _split_torch_name(name: str):
             if parts[1] == "bias":
                 return (fname, "bias"), "params", None
 
+    # ganet PAM (position attention, ganet.py:98-132): 1x1 convs with bias
+    # + the gamma blend scalar. CAM (ganet.py:135-167) is defined but never
+    # used in the reference forward — no Flax counterpart, reported skipped.
+    if parts[0] == "pam_layer":
+        sub = parts[1]
+        if sub == "gamma":
+            return ("pam_layer", "gamma"), "params", None
+        if sub in ("query_conv", "key_conv", "value_conv"):
+            if parts[2] == "weight":
+                return ("pam_layer", sub, "kernel"), "params", "conv"
+            return ("pam_layer", sub, "bias"), "params", None
+
+    # sta/simple_sta head: fc1 = Sequential(Linear(bias=False), BatchNorm1d,
+    # ReLU) (sta.py:150-154) -> Flax fc1 + fc1_bn
+    if parts[0] == "fc1":
+        if parts[1] == "0" and parts[2] == "weight":
+            return ("fc1", "kernel"), "params", "linear"
+        if parts[1] == "1":
+            return bn(("fc1_bn",), parts[2])
+
     # graph layers: graph_layers.{i}.linear|bn|emb_q|emb_k
     m = re.match(r"^graph_layers$", parts[0])
     if m:

@@ -216,3 +216,99 @@ def test_eval_cuhk03_vs_reference(ref_rank, seed, monkeypatch):
     cmc_v, map_v = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=5)
     np.testing.assert_allclose(cmc_v, cmc_r, atol=1e-6)
     np.testing.assert_allclose(map_v, map_r, atol=1e-12)
+
+
+def _convert_and_merge(fmodel, tmodel, expected_skips=()):
+    """Convert tmodel's state dict into fmodel variables; only paths whose
+    torch name starts with an expected_skips prefix may fail to map."""
+    import jax
+
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.weight_convert import convert_torch_state_dict, merge_converted
+
+    variables = init_params(
+        fmodel, jax.random.PRNGKey(0), seq_len=4, height=128, width=64, batch_size=1
+    )
+    converted, unmapped = convert_torch_state_dict(tmodel.state_dict())
+    bad = [n for n in unmapped if not n.startswith(tuple(expected_skips))]
+    assert not bad, bad[:5]
+    merged, matched, skipped = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skipped, skipped[:5]
+    return merged
+
+
+def _assert_eval_parity(fmodel, tmodel, seed=0, dim=None, atol=5e-4, with_adj=True):
+    import jax.numpy as jnp
+
+    _randomize_bn_stats(tmodel, seed=seed)
+    merged = _convert_and_merge(
+        fmodel, tmodel,
+        expected_skips=("cam_layer.",),  # reference-defined but unused in forward
+    )
+    rng = np.random.RandomState(seed)
+    x, adj = _clip_inputs(rng)
+    with torch.no_grad():
+        want = (
+            tmodel(torch.tensor(x), torch.tensor(adj))
+            if with_adj
+            else tmodel(torch.tensor(x))
+        ).numpy()
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    got = np.asarray(fmodel.apply(merged, x_nhwc, jnp.asarray(adj), train=False))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    if dim is not None:
+        assert got.shape[1] == dim
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+
+
+def test_ganet_full_model_parity_vs_reference():
+    """ganet: stripe PAM + masked/additive graph layers + concat feature."""
+    import importlib
+
+    ref = importlib.import_module("torchreid.models.ganet")
+    tmodel = ref.ganet(
+        num_classes=10, loss={"xent", "htri"}, last_stride=1, num_split=4,
+        num_gb=2, num_scale=1, knn=16, pyramid_part=True, use_pose=True,
+        learn_graph=True, pretrained=False,
+    ).eval()
+    # PAM gamma initializes at 0 (attention off); randomize so the PAM
+    # path, not just the residual, is exercised
+    with torch.no_grad():
+        tmodel.pam_layer.gamma.fill_(0.37)
+
+    from agrl_tpu.models.ganet import ganet as ganet_flax
+
+    fmodel = ganet_flax(
+        num_classes=10, loss={"xent", "htri"}, num_split=4, num_gb=2,
+        num_scale=1, knn=16, pyramid_part=True, use_pose=True, learn_graph=True,
+    )
+    _assert_eval_parity(fmodel, tmodel, seed=2, dim=(2 + 1) * 2048)
+
+
+@pytest.mark.parametrize(
+    "mod_name,builder,flax_name,dim,kwargs",
+    [
+        ("torchreid.models.sta", "sta_p4", "sta", 1024, dict(pretrained=False)),
+        ("torchreid.models.simple_sta", "simple_sta_p4", "simple_sta", 1024, dict(pretrained=False)),
+        ("torchreid.models.res50tp", "res50tp", "res50tp", 2048, dict(pretrain=False)),
+        ("torchreid.models.resnet50_s1", "resnet50_s1", "resnet50_s1", 2048, dict(pretrain=False)),
+    ],
+)
+def test_sta_family_full_model_parity_vs_reference(mod_name, builder, flax_name, dim, kwargs):
+    import importlib
+
+    from agrl_tpu.models import init_model
+
+    ref = importlib.import_module(mod_name)
+    tmodel = getattr(ref, builder)(
+        num_classes=10, loss={"xent", "htri"}, last_stride=1, **kwargs
+    ).eval()
+    fmodel = init_model(
+        flax_name, num_classes=10, loss={"xent", "htri"}, last_stride=1,
+        num_split=4, num_parts=3, num_scale=1, num_gb=2, pyramid_part=True,
+        use_pose=False, learn_graph=False,
+    )
+    _assert_eval_parity(fmodel, tmodel, seed=3, dim=dim)
