@@ -314,10 +314,13 @@ def run(args):
 
     if args.evaluate:
         print("Evaluate only")
+        # the full (Q, G) matrix is only materialized on host when rank
+        # visualization needs it; otherwise ranking runs fully on device
         distmat = evaluator.evaluate(
             state.variables(), queryloader, galleryloader,
             dist_metric=args.dist_metric, re_rank=args.re_rank,
-            metric_protocol=protocol, return_distmat=True,
+            metric_protocol=protocol, return_distmat=args.visualize_ranks,
+            mesh=mesh if mesh.size > 1 else None,
         )
         if args.visualize_ranks:
             visualize_ranked_results(
@@ -374,6 +377,7 @@ def run(args):
                 state.variables(), queryloader, galleryloader,
                 dist_metric=args.dist_metric, re_rank=args.re_rank,
                 metric_protocol=protocol,
+                mesh=mesh if mesh.size > 1 else None,
             )
             is_best = rank1 > best_rank1
             if is_best:

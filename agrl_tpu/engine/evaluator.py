@@ -61,20 +61,27 @@ class Evaluator:
 
         self._fwd = jax.jit(fwd)
 
-    def extract(self, variables, loader, name: str = "query"):
-        """Returns (features (N, D) np, pids, camids)."""
+    def extract(self, variables, loader, name: str = "query", keep_on_device: bool = False):
+        """Returns (features (N, D), pids, camids, batch_time meter).
+
+        `keep_on_device=True` (evenly/all sampling only): features stay
+        device arrays end to end — no per-batch D2H fetch; downstream
+        device ranking consumes them in place. Batch times then measure
+        dispatch, not compute (the final ranking syncs)."""
         if self.test_sample in ("dense", "skipdense"):
             return self._extract_dense_packed(variables, loader, name)
         feats, pids, camids = [], [], []
         batch_time = AverageMeter()
         for imgs, bpids, bcamids, adjs in loader:
             t0 = time.time()
-            f = np.asarray(self._fwd(variables, imgs, adjs))
+            f = self._fwd(variables, imgs, adjs)
+            if not keep_on_device:
+                f = np.asarray(f)
             batch_time.update(time.time() - t0)
             feats.append(f)
             pids.extend(np.asarray(bpids).tolist())
             camids.extend(np.asarray(bcamids).tolist())
-        features = np.concatenate(feats, axis=0)
+        features = (jnp.concatenate if keep_on_device else np.concatenate)(feats, axis=0)
         print(
             f"Extracted features for {name} set, obtained "
             f"{features.shape[0]}-by-{features.shape[1]} matrix"
@@ -167,30 +174,66 @@ class Evaluator:
         device_rank: bool = True,
         mesh=None,
     ):
-        qf, q_pids, q_camids, bt_q = self.extract(variables, queryloader, "query")
-        gf, g_pids, g_camids, bt_g = self.extract(variables, galleryloader, "gallery")
+        # features can stay on device whenever the ranking itself runs on
+        # device (no host distmat/re-rank needed): saves the D2H round-trip
+        on_device = (
+            device_rank
+            and not re_rank
+            and not return_distmat
+            and metric_protocol in ("mars", "market1501", "cuhk03")
+        )
+        qf, q_pids, q_camids, bt_q = self.extract(
+            variables, queryloader, "query", keep_on_device=on_device
+        )
+        gf, g_pids, g_camids, bt_g = self.extract(
+            variables, galleryloader, "gallery", keep_on_device=on_device
+        )
         avg_bt = (bt_q.sum + bt_g.sum) / max(bt_q.count + bt_g.count, 1)
         print(f"==> BatchTime(s)/Batch: {avg_bt:.3f}")
 
-        # fast path: MARS protocol fully on device (streaming top-k +
-        # masked-cumsum CMC/mAP) — no (Q, G) matrix on host. Re-ranking
-        # and distmat export need the full matrix, so they fall through.
-        if device_rank and metric_protocol == "mars" and not re_rank and not return_distmat:
-            from agrl_tpu.ops.rank import evaluate_mars_device
+        # fast path: the whole protocol on device — no (Q, G) matrix on
+        # host. mars: streaming top-k + masked-cumsum CMC/mAP; market1501:
+        # device argsort + cumsums; cuhk03: vectorized single-gallery-shot
+        # resampling. Re-ranking and distmat export need the full host
+        # matrix, so they fall through.
+        if device_rank and not re_rank and not return_distmat:
+            device_cmc = None
+            if metric_protocol == "mars":
+                from agrl_tpu.ops.rank import evaluate_mars_device
 
-            print("Computing CMC and mAP on device")
-            cmc_d, map_d = evaluate_mars_device(
-                jnp.asarray(qf), jnp.asarray(gf),
-                q_pids, g_pids, q_camids, g_camids, metric=dist_metric,
-            )
-            cmc, mAP = np.asarray(cmc_d), float(map_d)
-            print("Results ----------")
-            print(f"mAP: {mAP:.2%}")
-            print("CMC curve")
-            for r in ranks:
-                print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
-            print("------------------")
-            return cmc[0], mAP
+                device_cmc = lambda: evaluate_mars_device(  # noqa: E731
+                    jnp.asarray(qf), jnp.asarray(gf),
+                    q_pids, g_pids, q_camids, g_camids, metric=dist_metric,
+                )
+            elif metric_protocol in ("market1501", "cuhk03"):
+                # compute_distmat comes from the module-level import
+                from agrl_tpu.ops.rank import cuhk03_cmc_map, market1501_cmc_map
+
+                def device_cmc():
+                    dm = compute_distmat(
+                        jnp.asarray(qf), jnp.asarray(gf), dist_metric
+                    )
+                    if metric_protocol == "market1501":
+                        return market1501_cmc_map(
+                            dm, q_pids, g_pids, q_camids, g_camids
+                        )
+                    return cuhk03_cmc_map(
+                        dm, q_pids, g_pids, q_camids, g_camids,
+                        jax.random.PRNGKey(0),
+                    )
+
+            if device_cmc is not None:
+                print("Computing CMC and mAP on device")
+                cmc_d, map_d = device_cmc()
+                cmc, mAP = np.asarray(cmc_d), float(map_d)
+                print("Results ----------")
+                print(f"mAP: {mAP:.2%}")
+                print("CMC curve")
+                for r in ranks:
+                    if r <= len(cmc):
+                        print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
+                print("------------------")
+                return cmc[0], mAP
 
         print(f"Computing distance matrix with metric={dist_metric} ...")
         dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
@@ -218,7 +261,8 @@ class Evaluator:
         print(f"mAP: {mAP:.2%}")
         print("CMC curve")
         for r in ranks:
-            print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
+            if r <= len(cmc):  # tiny galleries truncate the CMC curve
+                print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
         print("------------------")
 
         if return_distmat:

@@ -74,3 +74,48 @@ def test_packed_dense_single_big_tracklet(setup):
     ev = Evaluator(model, test_sample="dense", pool="avg", clip_batch=8)
     feats, *_ = ev.extract(variables, loader, "query")
     assert feats.shape[0] == 1 and np.isfinite(feats).all()
+
+
+class FakeEvenLoader:
+    """(imgs (B, S, H, W, 3) u8, pids, camids, adjs (B, V, V)) batches."""
+
+    def __init__(self, rng, n_items=12, B=4, S=4, H=32, W=16, V=28, num_pids=5):
+        self.batches = []
+        for start in range(0, n_items, B):
+            n = min(B, n_items - start)
+            imgs = rng.randint(0, 256, (n, S, H, W, 3)).astype(np.uint8)
+            adjs = (rng.rand(n, V, V) + np.eye(V)).astype(np.float32)
+            ids = np.arange(start, start + n)
+            self.batches.append((imgs, ids % num_pids, ids % 3, adjs))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+@pytest.mark.parametrize("protocol", ["mars", "market1501", "cuhk03"])
+def test_device_protocol_paths_match_host(setup, protocol, capsys):
+    """Every protocol's on-device ranking (with device-resident features)
+    must reproduce the host NumPy path."""
+    model, variables = setup
+    rng = np.random.RandomState(4)
+    qloader = FakeEvenLoader(rng, n_items=8)
+    gloader = FakeEvenLoader(rng, n_items=16)
+
+    ev = Evaluator(model, test_sample="evenly", pool="avg")
+    if protocol == "cuhk03":
+        # sampling RNGs differ between device and host paths; just check
+        # the device path runs and yields sane values
+        rank1, mAP = ev.evaluate(
+            variables, qloader, gloader, metric_protocol=protocol,
+            device_rank=True,
+        )
+        assert 0.0 <= float(rank1) <= 1.0 and 0.0 <= float(mAP) <= 1.0
+        return
+    r_dev = ev.evaluate(
+        variables, qloader, gloader, metric_protocol=protocol, device_rank=True
+    )
+    r_host = ev.evaluate(
+        variables, qloader, gloader, metric_protocol=protocol, device_rank=False
+    )
+    np.testing.assert_allclose(float(r_dev[0]), float(r_host[0]), atol=1e-5)
+    np.testing.assert_allclose(float(r_dev[1]), float(r_host[1]), atol=1e-5)
