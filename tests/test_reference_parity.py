@@ -312,3 +312,118 @@ def test_sta_family_full_model_parity_vs_reference(mod_name, builder, flax_name,
         use_pose=False, learn_graph=False,
     )
     _assert_eval_parity(fmodel, tmodel, seed=3, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# loss parity: the reference's own loss classes
+# ---------------------------------------------------------------------------
+
+
+def test_losses_vs_reference_classes():
+    """xent+label-smooth and batch-hard triplet (both margins) computed by
+    the REFERENCE loss modules must equal ours on the same inputs."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from agrl_tpu.losses import batch_hard_triplet, cross_entropy_label_smooth
+
+    ref_xent = importlib.import_module(
+        "torchreid.losses.cross_entropy_loss"
+    ).CrossEntropyLabelSmooth(num_classes=7, use_gpu=False)
+    ref_htri_soft = importlib.import_module(
+        "torchreid.losses.hard_mine_triplet_loss"
+    ).TripletLoss(margin=0.3, soft=True)
+    ref_htri_hard = importlib.import_module(
+        "torchreid.losses.hard_mine_triplet_loss"
+    ).TripletLoss(margin=0.3, soft=False)
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(8, 7).astype(np.float32)
+    labels = rng.randint(0, 7, 8)
+    feats = rng.randn(8, 32).astype(np.float32)
+    # P x K structure so every anchor has a positive and a negative
+    pids = np.repeat(np.arange(4), 2)
+
+    with torch.no_grad():
+        want_x = float(ref_xent(torch.tensor(logits), torch.tensor(labels)))
+        want_s = float(ref_htri_soft(torch.tensor(feats), torch.tensor(pids)))
+        want_h = float(ref_htri_hard(torch.tensor(feats), torch.tensor(pids)))
+
+    got_x = float(cross_entropy_label_smooth(jnp.asarray(logits), jnp.asarray(labels), 7))
+    got_s = float(batch_hard_triplet(jnp.asarray(feats), jnp.asarray(pids), soft=True))
+    got_h = float(
+        batch_hard_triplet(jnp.asarray(feats), jnp.asarray(pids), margin=0.3, soft=False)
+    )
+
+    np.testing.assert_allclose(got_x, want_x, rtol=1e-5)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5)
+    np.testing.assert_allclose(got_h, want_h, rtol=1e-5)
+
+
+def test_training_objective_vs_reference_end_to_end():
+    """Same weights, same batch: the FULL training objective (xent + htri
+    DeepSupervision over the vmgn heads, reference train()
+    train_vidreid_xent_htri.py:399-408) computed through the reference
+    model+losses must equal ours. Train-mode BN uses batch statistics on
+    both sides, so no stats alignment is needed; consistent_loss stays off
+    (its subclip RNG cannot be shared across frameworks)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.losses import (
+        batch_hard_triplet,
+        cross_entropy_label_smooth,
+        deep_supervision,
+    )
+
+    ref_vmgn = importlib.import_module("torchreid.models.vmgn")
+    orig = ref_vmgn.init_pretrained_weights
+    ref_vmgn.init_pretrained_weights = lambda *a, **k: None
+    try:
+        tmodel = ref_vmgn.GSTA(
+            num_classes=6, loss={"xent", "htri"}, block=ref_vmgn.Bottleneck,
+            layers=[3, 4, 6, 3], num_split=4, pyramid_part=True, num_gb=2,
+            use_pose=True, learn_graph=True, consistent_loss=False,
+        ).train()
+    finally:
+        ref_vmgn.init_pretrained_weights = orig
+
+    ref_xent = importlib.import_module(
+        "torchreid.losses.cross_entropy_loss"
+    ).CrossEntropyLabelSmooth(num_classes=6, use_gpu=False)
+    ref_htri = importlib.import_module(
+        "torchreid.losses.hard_mine_triplet_loss"
+    ).TripletLoss(margin=0.3, soft=True)
+    ref_ds = importlib.import_module("torchreid.losses").DeepSupervision
+
+    rng = np.random.RandomState(5)
+    x, adj = _clip_inputs(rng, B=4)
+    pids = np.repeat(np.arange(2), 2)
+
+    with torch.no_grad():
+        outs, featps = tmodel(torch.tensor(x), torch.tensor(adj))
+        want_xent = float(ref_ds(ref_xent, outs, torch.tensor(pids)))
+        want_htri = float(ref_ds(ref_htri, featps, torch.tensor(pids)))
+
+    from agrl_tpu.models.vmgn import vmgn
+
+    fmodel = vmgn(num_classes=6, loss={"xent", "htri"})
+    merged = _flax_variables_from_torch(fmodel, tmodel, seq_len=4, height=128, width=64)
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    (out_list, f_list), _ = fmodel.apply(
+        merged, x_nhwc, jnp.asarray(adj), train=True,
+        mutable=["batch_stats"], rngs={"subclip": jax.random.PRNGKey(0)},
+    )
+    got_xent = float(
+        deep_supervision(
+            cross_entropy_label_smooth, out_list, jnp.asarray(pids), num_classes=6
+        )
+    )
+    got_htri = float(
+        deep_supervision(batch_hard_triplet, f_list, jnp.asarray(pids), soft=True)
+    )
+    np.testing.assert_allclose(got_xent, want_xent, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_htri, want_htri, rtol=2e-4, atol=2e-4)
