@@ -102,8 +102,24 @@ class Evaluator:
         CB = self.clip_batch
         batch_time = AverageMeter()
         pend_imgs, pend_adjs, pend_seg = [], [], []  # flat clip stream
-        pooled, pids, camids = [], [], []
+        pids, camids = [], []
         acc = {}  # tracklet idx -> [sum_or_max (D,), clip_count]
+        in_flight = []  # one-deep pipeline: (device features, take, segs)
+
+        def accumulate(fd, take, segs):
+            t0 = time.time()
+            f = np.asarray(fd)[:take]  # D2H sync overlaps the NEXT forward
+            batch_time.update(time.time() - t0)
+            for row, seg in zip(f, segs):
+                entry = acc.get(seg)
+                if entry is None:
+                    acc[seg] = [row.astype(np.float64), 1]
+                elif self.pool == "avg":
+                    entry[0] += row
+                    entry[1] += 1
+                else:
+                    np.maximum(entry[0], row, out=entry[0])
+                    entry[1] += 1
 
         def flush(final: bool = False):
             while pend_imgs and (final or len(pend_imgs) >= CB):
@@ -120,19 +136,14 @@ class Evaluator:
                     adjs = np.concatenate(
                         [adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)]
                     )
-                t0 = time.time()
-                f = np.asarray(self._fwd(variables, imgs, adjs))[:take]
-                batch_time.update(time.time() - t0)
-                for row, seg in zip(f, segs):
-                    entry = acc.get(seg)
-                    if entry is None:
-                        acc[seg] = [row.astype(np.float64), 1]
-                    elif self.pool == "avg":
-                        entry[0] += row
-                        entry[1] += 1
-                    else:
-                        np.maximum(entry[0], row, out=entry[0])
-                        entry[1] += 1
+                # dispatch this batch, THEN drain the previous one — the
+                # host-side fetch + pooling overlaps device compute
+                in_flight.append((self._fwd(variables, imgs, adjs), take, segs))
+                if len(in_flight) > 1:
+                    accumulate(*in_flight.pop(0))
+            if final:
+                while in_flight:
+                    accumulate(*in_flight.pop(0))
 
         n_tracklets = 0
         for imgs, bpids, bcamids, adjs in loader:
