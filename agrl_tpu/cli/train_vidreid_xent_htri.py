@@ -169,8 +169,10 @@ def run(args):
 
     mode = "test" if args.evaluate else "train"
     stamp = time.strftime("-%Y-%m-%d-%H-%M-%S")
-    sys.stdout = Logger(osp.join(args.save_dir, f"log_{mode}{stamp}.txt"))
-    writer = ScalarWriter(args.save_dir)
+    # multi-host: per-process log files; scalars only from process 0
+    proc_tag = "" if is_main else f"-proc{jax.process_index()}"
+    sys.stdout = Logger(osp.join(args.save_dir, f"log_{mode}{stamp}{proc_tag}.txt"))
+    writer = ScalarWriter(args.save_dir) if is_main else None
     print(f"==========\nArgs:{args}\n==========")
     print(f"JAX devices: {jax.devices()}")
 
@@ -382,7 +384,7 @@ def run(args):
             is_best = rank1 > best_rank1
             if is_best:
                 best_rank1, best_mAP, best_epoch = rank1, mAP, epoch + 1
-            if is_main:  # one checkpoint/scalar writer per job, not per host
+            if writer is not None:  # one checkpoint/scalar writer per job
                 save_checkpoint(
                     {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state},
                     osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack"),
@@ -433,6 +435,8 @@ def train_one_epoch(
 
     num_batches = len(trainloader)
     end = time.time()
+    window_start = time.time()
+    window_batches = 0
 
     def batches():
         for imgs, pids, _, adjs in trainloader:
@@ -449,7 +453,7 @@ def train_one_epoch(
             data_time.update(time.time() - end)
             key, step_key = jax.random.split(key)
             state, metrics = train_step(state, imgs_d, pids_d, adjs_d, step_key)
-            batch_time.update(time.time() - end)
+            window_batches += 1
 
             # keep metrics as device scalars — a float() here would block on
             # the device every step and defeat the prefetch overlap; the
@@ -462,6 +466,14 @@ def train_one_epoch(
             if ((batch_idx + 1) % args.print_freq == 0) or (
                 args.print_last and batch_idx == num_batches - 1
             ):
+                # steps dispatch asynchronously; real step time = window
+                # wall-clock / batches, measured AFTER a device sync
+                float(metrics["xent_loss"])
+                batch_time.update(
+                    (time.time() - window_start) / window_batches, window_batches
+                )
+                window_start = time.time()
+                window_batches = 0
                 eta_seconds = batch_time.avg * (
                     num_batches - (batch_idx + 1) + (args.max_epoch - (epoch + 1)) * num_batches
                 )
@@ -479,8 +491,9 @@ def train_one_epoch(
                 )
             end = time.time()
 
-    writer.add_scalar("loss/xent_loss", xent_losses.avg, epoch + 1)
-    writer.add_scalar("loss/htri_loss", htri_losses.avg, epoch + 1)
+    if writer is not None:
+        writer.add_scalar("loss/xent_loss", xent_losses.avg, epoch + 1)
+        writer.add_scalar("loss/htri_loss", htri_losses.avg, epoch + 1)
     return state
 
 

@@ -50,11 +50,17 @@ def available() -> bool:
     return _lib is not None
 
 
-def decode_resize_batch(paths, height: int, width: int, threads: int = 0):
+def decode_resize_batch(paths, height: int, width: int, threads: int = 1):
     """Decode `paths` (JPEG files) to a (N, height, width, 3) uint8 batch.
 
     Returns (imgs, sizes (N, 2) int32 original (w, h), ok (N,) bool).
-    Entries with ok=False are zero-filled; the caller must fall back."""
+    Entries with ok=False are zero-filled; the caller must fall back.
+
+    `threads` defaults to 1: decode parallelism belongs to the loader's
+    worker threads — a full-width OpenMP team here would oversubscribe the
+    host num_workers x ncores and would also make per-core throughput
+    claims wrong. Pass threads=0 for the hardware default when calling
+    from a single dedicated pipeline thread."""
     n = len(paths)
     imgs = np.empty((n, height, width, 3), np.uint8)
     sizes = np.empty((n, 2), np.int32)

@@ -130,8 +130,11 @@ class VideoClipDataset:
         indices = sample_clip_indices(num, self.seq_len, self.sample, rng, self.max_len)
 
         chosen = [img_paths[int(i)] for i in indices]
+        # when whole items are cached the frame cache would hold a second
+        # decoded copy of every frame for no reuse — skip it
+        frame_cache = self.frame_cache if self.item_cache is None else None
         imgs, sizes = host_decode_resize(
-            chosen, self.height, self.width, cache=self.frame_cache
+            chosen, self.height, self.width, cache=frame_cache
         )
 
         if self.sample in ("dense", "skipdense"):
@@ -190,9 +193,14 @@ class ClipLoader:
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        nb = n // self.batch_size
+        rem = n % self.batch_size
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return nb
+        if rem and self.process_shard is not None and rem < self.process_shard[1]:
+            # a ragged tail smaller than the process count yields nothing
+            return nb
+        return nb + (1 if rem else 0)
 
     def _indices(self):
         if self.sampler is not None:

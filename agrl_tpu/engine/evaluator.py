@@ -61,20 +61,62 @@ class Evaluator:
 
         self._fwd = jax.jit(fwd)
 
-    def extract(self, variables, loader, name: str = "query", keep_on_device: bool = False):
+    def _make_fwd_runner(self, variables, mesh):
+        """Batch-sharded forward over the mesh's 'dp' axis (multi-chip
+        extraction, SURVEY.md §2.8), or the plain single-device forward.
+
+        Ragged batches pad to a dp multiple (all-ones adj) and slice the
+        padding back off the feature rows."""
+        if mesh is None or mesh.size <= 1:
+            return lambda imgs, adjs: self._fwd(variables, imgs, adjs)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+        def run(imgs, adjs):
+            n = imgs.shape[0]
+            pad = (-n) % dp
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                )
+                adjs = np.concatenate(
+                    [adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)]
+                )
+            imgs_d = jax.device_put(
+                imgs, NamedSharding(mesh, P("dp", *[None] * (np.ndim(imgs) - 1)))
+            )
+            adjs_d = jax.device_put(
+                adjs, NamedSharding(mesh, P("dp", *[None] * (np.ndim(adjs) - 1)))
+            )
+            f = self._fwd(variables, imgs_d, adjs_d)
+            return f[:n] if pad else f
+
+        return run
+
+    def extract(
+        self, variables, loader, name: str = "query",
+        keep_on_device: bool = False, mesh=None,
+    ):
         """Returns (features (N, D), pids, camids, batch_time meter).
 
         `keep_on_device=True` (evenly/all sampling only): features stay
         device arrays end to end — no per-batch D2H fetch; downstream
         device ranking consumes them in place. Batch times then measure
-        dispatch, not compute (the final ranking syncs)."""
+        dispatch, not compute (the final ranking syncs).
+
+        `mesh`: shard each batch over the mesh's 'dp' axis (multi-chip
+        extraction)."""
         if self.test_sample in ("dense", "skipdense"):
-            return self._extract_dense_packed(variables, loader, name)
+            return self._extract_dense_packed(variables, loader, name, mesh=mesh)
+        run_fwd = self._make_fwd_runner(variables, mesh)
         feats, pids, camids = [], [], []
         batch_time = AverageMeter()
         for imgs, bpids, bcamids, adjs in loader:
             t0 = time.time()
-            f = self._fwd(variables, imgs, adjs)
+            f = run_fwd(imgs, adjs)
             if not keep_on_device:
                 f = np.asarray(f)
             batch_time.update(time.time() - t0)
@@ -88,7 +130,7 @@ class Evaluator:
         )
         return features, np.asarray(pids), np.asarray(camids), batch_time
 
-    def _extract_dense_packed(self, variables, loader, name: str):
+    def _extract_dense_packed(self, variables, loader, name: str, mesh=None):
         """dense/skipdense extraction with CROSS-TRACKLET clip packing.
 
         The reference runs one forward per tracklet (its n clips as the
@@ -100,6 +142,7 @@ class Evaluator:
         slices arrive — numerically the same mean/max over the same set.
         """
         CB = self.clip_batch
+        run_fwd = self._make_fwd_runner(variables, mesh)
         batch_time = AverageMeter()
         pend_imgs, pend_adjs, pend_seg = [], [], []  # flat clip stream
         pids, camids = [], []
@@ -138,7 +181,7 @@ class Evaluator:
                     )
                 # dispatch this batch, THEN drain the previous one — the
                 # host-side fetch + pooling overlaps device compute
-                in_flight.append((self._fwd(variables, imgs, adjs), take, segs))
+                in_flight.append((run_fwd(imgs, adjs), take, segs))
                 if len(in_flight) > 1:
                     accumulate(*in_flight.pop(0))
             if final:
@@ -194,11 +237,19 @@ class Evaluator:
             and metric_protocol in ("mars", "market1501", "cuhk03")
         )
         qf, q_pids, q_camids, bt_q = self.extract(
-            variables, queryloader, "query", keep_on_device=on_device
+            variables, queryloader, "query", keep_on_device=on_device, mesh=mesh
         )
         gf, g_pids, g_camids, bt_g = self.extract(
-            variables, galleryloader, "gallery", keep_on_device=on_device
+            variables, galleryloader, "gallery", keep_on_device=on_device, mesh=mesh
         )
+        if on_device and mesh is not None and mesh.size > 1:
+            # extraction left the feature rows dp-sharded; the ranking
+            # kernels want them whole (the rank step is ~0.1 s total)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            qf = jax.device_put(qf, rep)
+            gf = jax.device_put(gf, rep)
         avg_bt = (bt_q.sum + bt_g.sum) / max(bt_q.count + bt_g.count, 1)
         print(f"==> BatchTime(s)/Batch: {avg_bt:.3f}")
 

@@ -106,6 +106,10 @@ bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size) {
 
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // constructed BEFORE setjmp: a longjmp unwind skips destructors of
+  // objects created after the setjmp point (leak + UB), but returning
+  // normally from here destroys tmp as usual
+  std::vector<uint8_t> tmp;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_message;
@@ -136,7 +140,6 @@ bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size) {
   const int sw = static_cast<int>(cinfo.output_width);
   const int sh = static_cast<int>(cinfo.output_height);
   const bool direct = (sw == dw && sh == dh);
-  std::vector<uint8_t> tmp;
   uint8_t* plane = dst;
   if (!direct) {
     tmp.resize(static_cast<size_t>(sw) * sh * 3);

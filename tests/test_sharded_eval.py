@@ -62,3 +62,36 @@ def test_evaluator_max_pool_dense(tmp_path):
     ev = Evaluator(model, test_sample="dense", pool="max")
     r1, mAP = ev.evaluate(variables, qloader, gloader, dist_metric="cosine")
     assert 0.0 <= float(mAP) <= 1.0
+
+
+def test_mesh_sharded_extraction_matches_single(tmp_path):
+    """Batch-sharded ('dp') feature extraction — incl. a ragged tail batch
+    padded to the dp multiple — equals single-device extraction, and the
+    full device-ranked evaluate(mesh=...) equals evaluate(mesh=None)."""
+    ds = init_vidreid_dataset(
+        "synthetic", root=str(tmp_path / "d"), num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    kw = dict(seq_len=4, sample="evenly", height=64, width=32,
+              pose_info=ds.process_poses, num_split=4, pyramid_part=True)
+    # batch 5 over 6 query tracklets -> ragged tail of 1 (pads to dp=4... )
+    qloader = ClipLoader(VideoClipDataset(ds.query, **kw), batch_size=5, num_workers=1)
+    gloader = ClipLoader(VideoClipDataset(ds.gallery, **kw), batch_size=5, num_workers=1)
+
+    model = init_model("vmgn_tiny", num_classes=3, loss={"xent", "htri"},
+                       num_split=4, pyramid_part=True, num_gb=1,
+                       use_pose=True, learn_graph=True)
+    variables = init_params(model, jax.random.PRNGKey(0), seq_len=4, height=64, width=32)
+    ev = Evaluator(model, test_sample="evenly")
+    mesh = make_mesh(dp=4, mp=2)
+
+    f_single, *_ = ev.extract(variables, qloader, "query")
+    f_mesh, *_ = ev.extract(variables, qloader, "query", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(f_mesh), f_single, atol=2e-5, rtol=1e-5)
+
+    r1_s, map_s = ev.evaluate(variables, qloader, gloader, metric_protocol="mars")
+    r1_m, map_m = ev.evaluate(
+        variables, qloader, gloader, metric_protocol="mars", mesh=mesh
+    )
+    np.testing.assert_allclose(float(r1_m), float(r1_s), atol=1e-6)
+    np.testing.assert_allclose(float(map_m), float(map_s), atol=1e-6)
