@@ -212,3 +212,58 @@ def test_amsbound_differs_from_adabound_and_descends():
     # possible) but must both update parameters
     assert not np.allclose(a[-1], x0)
     assert not np.allclose(b[-1], x0)
+
+
+# ---------------------------------------------------------------------------
+# trajectory parity against the ACTUAL reference optimizer classes
+# (torchreid/optimizers.py AdaBound/RAdam), not just rule transcriptions
+# ---------------------------------------------------------------------------
+
+
+def _import_reference_optimizers():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        return importlib.import_module("torchreid.optimizers")
+    finally:
+        sys.path.remove("/root/reference")
+
+
+@pytest.mark.parametrize("wd", [0.0, 5e-4])
+def test_adabound_trajectory_matches_reference_class(wd):
+    ref = _import_reference_optimizers()
+    x0, grads = make_problem(n_steps=12, seed=3)
+    opt = init_optim("adabound", 1e-3, weight_decay=wd, base_lr=1e-3)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(lambda ps: ref.AdaBound(ps, lr=1e-3, weight_decay=wd), x0, grads)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("wd", [0.0, 5e-4])
+def test_radam_trajectory_matches_reference_class(wd):
+    ref = _import_reference_optimizers()
+    x0, grads = make_problem(n_steps=12, seed=4)
+    opt = init_optim("radam", 1e-3, weight_decay=wd)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(lambda ps: ref.RAdam(ps, lr=1e-3, weight_decay=wd), x0, grads)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5)
+
+
+def test_amsbound_trajectory_matches_reference_class():
+    # amsbound is not an init_optim name (the reference registry has no
+    # entry either, optimizers.py:7-23); it's the AdaBound flag
+    from agrl_tpu.optim.optimizers import adabound
+
+    ref = _import_reference_optimizers()
+    x0, grads = make_problem(n_steps=12, seed=5)
+    opt = adabound(1e-3, base_lr=1e-3, amsbound=True)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(
+        lambda ps: ref.AdaBound(ps, lr=1e-3, amsbound=True), x0, grads
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5)
