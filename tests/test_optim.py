@@ -267,3 +267,37 @@ def test_amsbound_trajectory_matches_reference_class():
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["linear", "constant"])
+def test_warmup_multistep_matches_reference_scheduler(method):
+    """LR sequence vs the reference WarmupMultiStepLR class itself
+    (torchreid/lr_scheduler.py:9-51), stepped epoch by epoch."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        ref_mod = importlib.import_module("torchreid.lr_scheduler")
+    finally:
+        sys.path.remove("/root/reference")
+
+    base_lr, milestones, gamma = 1e-4, [50, 100, 150], 0.1
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sched = ref_mod.WarmupMultiStepLR(
+        opt, milestones, gamma=gamma, warmup_factor=0.01, warmup_iters=10,
+        warmup_method=method,
+    )
+    ours = warmup_multistep_lr(
+        base_lr, milestones, gamma=gamma, warmup_factor=0.01, warmup_iters=10,
+        warmup_method=method,
+    )
+    for epoch in range(200):
+        want = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(ours(epoch)), want, rtol=1e-10), epoch
+        # traced-array branch must agree with the python branch
+        np.testing.assert_allclose(
+            float(ours(jnp.asarray(epoch))), want, rtol=1e-6
+        )
+        sched.step()
