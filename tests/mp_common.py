@@ -61,6 +61,19 @@ def run_two_steps(shard: tuple[int, int] | None = None):
         for i in range(2):
             state, metrics = step_fn(state, xs, pids_d, adjs, jax.random.PRNGKey(7 + i))
         jax.block_until_ready(metrics)
+
+    # eval forward after training: global (replicated) variables + the
+    # same host-local batch on every process — the multi-host evaluation
+    # pattern the CLI uses. Checksum must agree across processes.
+    rng_e = np.random.RandomState(1)
+    xe = rng_e.rand(2, S, H, W, 3).astype(np.float32)
+    adje = (rng_e.rand(2, V, V) > 0.5).astype(np.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    feats = jax.jit(lambda v, x, a: model.apply(v, x, a, train=False))(
+        variables, xe, adje
+    )
+    metrics = dict(metrics)
+    metrics["eval_feat_checksum"] = jnp.sum(jnp.abs(feats))
     return metrics
 
 

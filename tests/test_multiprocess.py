@@ -49,9 +49,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     results = [json.load(open(o)) for o in outs]
     assert results[0]["process_count"] == 2
     assert results[0]["n_devices"] == 8
-    # both processes observe identical (replicated) global metrics
-    for k in ("loss", "xent_loss", "htri_loss"):
-        assert results[0][k] == pytest.approx(results[1][k], abs=1e-6), k
+    # both processes observe identical (replicated) global metrics and
+    # identical post-training eval features (the multi-host eval pattern)
+    for k in ("loss", "xent_loss", "htri_loss", "eval_feat_checksum"):
+        assert results[0][k] == pytest.approx(results[1][k], rel=1e-6), k
 
     # single-process oracle on this process's 8 virtual devices
     from .mp_common import run_two_steps
