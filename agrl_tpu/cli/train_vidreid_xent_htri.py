@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split-id", type=int, default=0)
     p.add_argument("--train-batch", default=32, type=int)
     p.add_argument("--test-batch", default=5, type=int)
+    p.add_argument("--clip-batch", default=64, type=int,
+                   help="device batch for dense/skipdense eval: clips from "
+                        "consecutive tracklets pack into this fixed shape")
     p.add_argument("--num-instances", type=int, default=4)
     p.add_argument("--train-sample", default="restricted",
                    choices=["evenly", "random", "consecutive", "restricted"])
@@ -310,7 +313,8 @@ def run(args):
     print(f"Mesh: dp={mesh.shape['dp']} mp={mesh.shape['mp']} (of {n_dev} devices)")
 
     evaluator = Evaluator(
-        model, test_sample=args.test_sample, pool=args.pool, bf16=args.bf16_eval
+        model, test_sample=args.test_sample, pool=args.pool, bf16=args.bf16_eval,
+        clip_batch=args.clip_batch,
     )
     protocol = "mars"  # the reference driver always scores with evaluate_mars (:531)
 
