@@ -150,7 +150,7 @@ def run(args):
     from agrl_tpu.engine.evaluator import Evaluator
     from agrl_tpu.metrics import accuracy
     from agrl_tpu.optim import init_optim, multistep_lr, per_step, warmup_multistep_lr
-    from agrl_tpu.parallel import make_mesh, shard_batch
+    from agrl_tpu.parallel import make_mesh
     from agrl_tpu.utils.avgmeter import AverageMeter
     from agrl_tpu.utils.logger import Logger, ScalarWriter, cur_time
     from agrl_tpu.utils.reidtools import visualize_ranked_results
@@ -426,8 +426,6 @@ def train_one_epoch(
     args, epoch, state, train_step, trainloader, mesh, key, writer, accuracy,
     AverageMeter, cur_time,
 ):
-    from agrl_tpu.parallel import shard_batch
-
     xent_losses = AverageMeter()
     htri_losses = AverageMeter()
     precisions = AverageMeter()
