@@ -262,6 +262,16 @@ def run(args):
         model, tx, jax.random.PRNGKey(args.seed),
         seq_len=args.seq_len, height=args.height, width=args.width, batch_size=2,
     )
+    # startup params/FLOPs report (reference train_vidreid_xent_htri.py:
+    # 256-263 runs the same single-clip probe)
+    from agrl_tpu.utils.model_complexity import compute_model_complexity
+
+    n_params, gflops = compute_model_complexity(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        seq_len=args.seq_len, height=args.height, width=args.width, verbose=False,
+    )
+    print(f"Model complexity: params {n_params:.5f}M flops {gflops:.3f}G")
     print(f"Model size: {count_num_param(state.params):.5f}M")
 
     from agrl_tpu.utils.iotools import check_isfile
