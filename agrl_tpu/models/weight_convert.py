@@ -188,6 +188,157 @@ def merge_converted(variables, converted):
     return new_vars, matched, skipped
 
 
+def convert_graphnet_state_dict(state_dict: dict, arch: str):
+    """torch msppn/msppgn state dict -> Flax variable tree.
+
+    The two graphnet archs name their modules differently from the
+    vmgn family (reference graphnet.py):
+      * msppn (MSPyraPartNet :120-214): direct backbone attrs conv1/bn1/
+        layer1..4 (ALL under our MultiScaleTrunk), reduce_f{k} + bn_f{k}
+        heads, per-vertex `classifier.{i}` list whose LAST entry is the
+        fused head, Conv1d `fusion_conv`;
+      * msppgn (MSPyraPartGraphNet :217-320): backbone as a Sequential
+        `base.{0,1,4..7}`, reduce{k} + bn{k} heads (bn1 here is a head BN,
+        not the stem!), GraphBlocks `gbs.{i}.{linear,emb_q,emb_k,bn}`,
+        `classifiers.{i}`.
+
+    Returns ({'params', 'batch_stats'}, skipped_names)."""
+    assert arch in ("msppn", "msppgn")
+    params, batch_stats, skipped = {}, {}, []
+
+    def bn(prefix, leaf):
+        return {
+            "weight": (prefix + ("scale",), "params"),
+            "bias": (prefix + ("bias",), "params"),
+            "running_mean": (prefix + ("mean",), "batch_stats"),
+            "running_var": (prefix + ("var",), "batch_stats"),
+        }.get(leaf)
+
+    n_cls = max(
+        (
+            int(n.split(".")[1])
+            for n in state_dict
+            if n.startswith(("classifier.", "classifiers."))
+        ),
+        default=-1,
+    )
+
+    def map_name(name):
+        parts = name.split(".")
+        # ---- backbone ----
+        if arch == "msppn":
+            if parts[0] == "conv1" and parts[1] == "weight":
+                return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
+            if parts[0] == "bn1":
+                hit = bn(("trunk", "stem", "bn1"), parts[1])
+                return (*hit, None) if hit else None
+            stage = re.match(r"^layer(\d)$", parts[0])
+            if stage:
+                return _map_res_block(("trunk", parts[0]), parts[1:])
+        else:
+            if parts[0] == "base":
+                idx = parts[1]
+                if idx == "0" and parts[2] == "weight":
+                    return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
+                if idx == "1":
+                    hit = bn(("trunk", "stem", "bn1"), parts[2])
+                    return (*hit, None) if hit else None
+                if idx in ("4", "5", "6", "7"):
+                    return _map_res_block(
+                        ("trunk", f"layer{int(idx) - 3}"), parts[2:]
+                    )
+                return None
+        # ---- reduce heads ----
+        m = re.match(r"^reduce_?f?(\d)$", parts[0])
+        if m and (arch == "msppn") == parts[0].startswith("reduce_f"):
+            k = m.group(1)
+            if parts[1] == "weight":
+                return (f"reduce_f{k}", "reduce", "kernel"), "params", "linear"
+            return (f"reduce_f{k}", "reduce", "bias"), "params", None
+        m = re.match(r"^bn_?f?(\d)$", parts[0])
+        if m and (arch == "msppn") == parts[0].startswith("bn_f"):
+            hit = bn((f"reduce_f{m.group(1)}", "bn"), parts[1])
+            return (*hit, None) if hit else None
+        # ---- graph blocks (msppgn) ----
+        if parts[0] == "gbs":
+            i, sub = parts[1], parts[2]
+            prefix = (f"gb_{i}",)
+            if sub == "linear" and parts[3] == "weight":
+                return prefix + ("linear", "kernel"), "params", "linear"
+            if sub in ("emb_q", "emb_k"):
+                if parts[3] == "weight":
+                    return prefix + (sub, "kernel"), "params", "linear"
+                return prefix + (sub, "bias"), "params", None
+            if sub == "bn":
+                hit = bn(prefix + ("bn",), parts[3])
+                return (*hit, None) if hit else None
+            return None
+        # ---- heads ----
+        if parts[0] == "fusion_conv" and parts[1] == "weight":
+            # torch Conv1d (1, V, 1) -> our (V, 1) fusion matrix
+            return ("fusion_conv",), "params", "fusion"
+        if parts[0] in ("classifier", "classifiers"):
+            i = int(parts[1])
+            fname = "classifier_fused" if i == n_cls else f"classifier_{i}"
+            if parts[2] == "weight":
+                return (fname, "kernel"), "params", "linear"
+            return (fname, "bias"), "params", None
+        return None
+
+    for name, value in state_dict.items():
+        name = re.sub(r"^module\.", "", name)
+        if name.endswith("num_batches_tracked"):
+            continue
+        mapped = map_name(name)
+        if mapped is None:
+            skipped.append(name)
+            continue
+        path, collection, kind = mapped
+        arr = _to_numpy(value)
+        if kind == "fusion":
+            arr = arr.reshape(arr.shape[0], arr.shape[1]).T  # (1,V,1)->(V,1)
+        else:
+            arr = _transform(arr, kind)
+        (params if collection == "params" else batch_stats)[path] = arr
+    return (
+        {
+            "params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(batch_stats),
+        },
+        skipped,
+    )
+
+
+def _map_res_block(prefix: tuple, rest: list):
+    """layerX.N.{convK,bnK,downsample} -> Flax ResLayer/block paths."""
+    block = (f"block{rest[0]}",)
+    if rest[1] in ("conv1", "conv2", "conv3") and rest[2] == "weight":
+        return prefix + block + (rest[1], "kernel"), "params", "conv"
+    if rest[1] in ("bn1", "bn2", "bn3"):
+        leaf = {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }.get(rest[2])
+        if leaf:
+            return prefix + block + (rest[1], leaf[0]), leaf[1], None
+        return None
+    if rest[1] == "downsample":
+        if rest[2] == "0" and rest[3] == "weight":
+            return prefix + block + ("downsample_conv", "kernel"), "params", "conv"
+        if rest[2] == "1":
+            leaf = {
+                "weight": ("scale", "params"),
+                "bias": ("bias", "params"),
+                "running_mean": ("mean", "batch_stats"),
+                "running_var": ("var", "batch_stats"),
+            }.get(rest[3])
+            if leaf:
+                return prefix + block + ("downsample_bn", leaf[0]), leaf[1], None
+    return None
+
+
 def convert_imagenet_resnet(state_dict: dict, target_params: dict):
     """torchvision-style ResNet state dict -> converted variable tree.
 

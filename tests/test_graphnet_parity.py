@@ -1,0 +1,172 @@
+"""msppn / msppgn full-model parity vs the actual reference implementation
+(torchreid/models/graphnet.py).
+
+The reference builds its backbone by calling
+torchvision.models.resnet50(pretrained=True); torchvision is not
+installed, so a faithful in-test stand-in (standard torchvision ResNet-50
+module layout and child order) is injected as the `torchvision` stub's
+resnet50 — random weights, which is exactly what parity needs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+REF = "/root/reference"
+
+
+class _Bottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + r)
+
+
+class _ResNet50(tnn.Module):
+    """torchvision.models.resnet50 layout: child order matters (msppgn
+    slices children()[:-2] into a Sequential)."""
+
+    def __init__(self):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, 3, 1)
+        self.layer2 = self._make_layer(128, 4, 2)
+        self.layer3 = self._make_layer(256, 6, 2)
+        self.layer4 = self._make_layer(512, 3, 2)
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc = tnn.Linear(2048, 1000)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = tnn.Sequential(
+            tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(planes * 4),
+        )
+        layers = [_Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [_Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        return tnn.Sequential(*layers)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_graphnet_env():
+    sys.path.insert(0, REF)
+    prev = sys.modules.get("torchvision")
+    tv = types.ModuleType("torchvision")
+    tv.models = types.SimpleNamespace(resnet50=lambda pretrained=True: _ResNet50())
+    sys.modules["torchvision"] = tv
+    # graphnet may already be imported with the bare stub from other tests
+    sys.modules.pop("torchreid.models.graphnet", None)
+    yield
+    sys.modules.pop("torchreid.models.graphnet", None)
+    if prev is not None:
+        sys.modules["torchvision"] = prev
+    else:
+        sys.modules.pop("torchvision", None)
+    sys.path.remove(REF)
+
+
+def _randomize_bn_stats(tmodel, seed):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _parity(tmodel, fmodel, skipped_expected, seed, v):
+    import importlib  # noqa: F401
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.weight_convert import convert_graphnet_state_dict, merge_converted
+
+    arch = "msppgn" if any(k.startswith("base.") for k in tmodel.state_dict()) else "msppn"
+    _randomize_bn_stats(tmodel, seed)
+    converted, skipped = convert_graphnet_state_dict(tmodel.state_dict(), arch)
+    bad = [n for n in skipped if not n.startswith(skipped_expected)]
+    assert not bad, bad[:5]
+
+    variables = init_params(
+        fmodel, jax.random.PRNGKey(0), seq_len=4, height=128, width=64,
+        num_vertices=v, batch_size=1,
+    )
+    merged, matched, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    rng = np.random.RandomState(seed)
+    x = rng.rand(2, 4, 3, 128, 64).astype(np.float32)
+    adj = (rng.rand(2, v, v) + np.eye(v)).astype(np.float32)
+    tmodel.eval()
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x), torch.tensor(adj)).numpy()
+    got = np.asarray(
+        fmodel.apply(
+            merged, jnp.asarray(x.transpose(0, 1, 3, 4, 2)), jnp.asarray(adj),
+            train=False,
+        )
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_msppn_full_model_parity_vs_reference():
+    import importlib
+
+    ref = importlib.import_module("torchreid.models.graphnet")
+    tmodel = ref.MSPyraPartNet(num_classes=8, loss={"xent", "htri"}, num_split=4)
+
+    from agrl_tpu.models.graphnet import msppn
+
+    fmodel = msppn(num_classes=8, loss={"xent", "htri"}, num_split=4)
+    # msppn vertices: 3 scales x total_split(4->7) x ... adj unused
+    _parity(tmodel, fmodel, skipped_expected=(), seed=11, v=4 * 3 * 7)
+
+
+def test_msppgn_full_model_parity_vs_reference():
+    import importlib
+
+    ref = importlib.import_module("torchreid.models.graphnet")
+    tmodel = ref.MSPyraPartGraphNet(
+        num_classes=8, loss={"xent", "htri"}, num_split=4, use_pose=True,
+        learn_graph=True, num_gb=2,
+    )
+
+    from agrl_tpu.models.graphnet import msppgn
+
+    fmodel = msppgn(
+        num_classes=8, loss={"xent", "htri"}, num_split=4, use_pose=True,
+        learn_graph=True, num_gb=2,
+    )
+    # V = num_scale(3) * total_split(7) * seq_len(4)... graph runs over the
+    # (3*total_split*S) vertex axis; the adjacency must match that length
+    _parity(tmodel, fmodel, skipped_expected=(), seed=12, v=3 * 7 * 4)
