@@ -93,8 +93,10 @@ class ResNet50RNN(nn.Module):
     def __call__(self, x, adj=None, *, train: bool = False):
         fmap, B, T = _per_frame_features(x, self.layers, train)
         feats = fmap.mean(axis=(1, 2)).reshape(B, T, -1)
-        lstm = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")
-        outputs = lstm(feats)  # (B, T, hidden)
+        # the cell is constructed in THIS compact scope, so its params live
+        # under the explicit 'lstm' name (gate denses lstm/{ii..ho})
+        cell = nn.OptimizedLSTMCell(self.hidden_dim, name="lstm")
+        outputs = nn.RNN(cell)(feats)  # (B, T, hidden)
         f = outputs.mean(axis=1)
         return _finish(self, f, train)
 

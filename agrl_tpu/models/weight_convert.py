@@ -339,6 +339,103 @@ def _map_res_block(prefix: tuple, rest: list):
     return None
 
 
+def convert_temporal_state_dict(state_dict: dict):
+    """torch ResNet50TP/TA/RNN (legacy temporal family,
+    resnet_temporal.py:14-133) -> Flax variable tree.
+
+    Layout: `base.{0,1,4..7}` Sequential backbone (torchvision children
+    slice) -> our ResNetBackbone('backbone'); `classifier` Dense;
+    TA's `attention_conv` (Conv2d full-map kernel) and `attention_tconv`
+    (Conv1d k=3); RNN's packed-gate `lstm` -> flax OptimizedLSTMCell
+    per-gate dense layers (torch gate order i,f,g,o == flax ii/if/ig/io;
+    the two torch biases sum into the h-side bias).
+
+    Returns ({'params', 'batch_stats'}, skipped_names)."""
+    params, batch_stats, skipped = {}, {}, []
+
+    def bn_leaf(leaf):
+        return {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }.get(leaf)
+
+    def emit(path, collection, arr):
+        (params if collection == "params" else batch_stats)[path] = arr
+
+    gates = ("i", "f", "g", "o")
+    for name, value in state_dict.items():
+        name = re.sub(r"^module\.", "", name)
+        if name.endswith("num_batches_tracked"):
+            continue
+        parts = name.split(".")
+        arr = _to_numpy(value)
+        if parts[0] == "base":
+            idx = parts[1]
+            if idx == "0" and parts[2] == "weight":
+                emit(("backbone", "trunk", "stem", "conv1", "kernel"), "params",
+                     _transform(arr, "conv"))
+                continue
+            if idx == "1":
+                hit = bn_leaf(parts[2])
+                if hit:
+                    emit(("backbone", "trunk", "stem", "bn1", hit[0]), hit[1], arr)
+                    continue
+            if idx in ("4", "5", "6"):
+                mapped = _map_res_block(
+                    ("backbone", "trunk", f"layer{int(idx) - 3}"), parts[2:]
+                )
+            elif idx == "7":
+                mapped = _map_res_block(("backbone", "layer4"), parts[2:])
+            else:
+                mapped = None
+            if mapped:
+                emit(mapped[0], mapped[1], _transform(arr, mapped[2]))
+                continue
+            skipped.append(name)
+            continue
+        if parts[0] == "classifier":
+            emit(("classifier", "kernel" if parts[1] == "weight" else "bias"),
+                 "params", _transform(arr, "linear" if parts[1] == "weight" else None))
+            continue
+        if parts[0] == "attention_conv":
+            if parts[1] == "weight":
+                emit(("attention_conv", "kernel"), "params", _transform(arr, "conv"))
+            else:
+                emit(("attention_conv", "bias"), "params", arr)
+            continue
+        if parts[0] == "attention_tconv":
+            if parts[1] == "weight":  # Conv1d (out, in, k) -> flax (k, in, out)
+                emit(("attention_tconv", "kernel"), "params", arr.transpose(2, 1, 0))
+            else:
+                emit(("attention_tconv", "bias"), "params", arr)
+            continue
+        if parts[0] == "lstm":
+            H4 = arr.shape[0]
+            H = H4 // 4
+            leaf = parts[1]
+            for k, g in enumerate(gates):
+                chunk = arr[k * H : (k + 1) * H]
+                if leaf == "weight_ih_l0":
+                    emit(("lstm", f"i{g}", "kernel"), "params", chunk.T)
+                elif leaf == "weight_hh_l0":
+                    emit(("lstm", f"h{g}", "kernel"), "params", chunk.T)
+                elif leaf in ("bias_ih_l0", "bias_hh_l0"):
+                    # flax keeps one bias (h-side); torch's two biases sum
+                    key = ("lstm", f"h{g}", "bias")
+                    params[key] = params.get(key, 0) + chunk
+            continue
+        skipped.append(name)
+    return (
+        {
+            "params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(batch_stats),
+        },
+        skipped,
+    )
+
+
 def convert_imagenet_resnet(state_dict: dict, target_params: dict):
     """torchvision-style ResNet state dict -> converted variable tree.
 

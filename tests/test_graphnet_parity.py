@@ -170,3 +170,51 @@ def test_msppgn_full_model_parity_vs_reference():
     # V = num_scale(3) * total_split(7) * seq_len(4)... graph runs over the
     # (3*total_split*S) vertex axis; the adjacency must match that length
     _parity(tmodel, fmodel, skipped_expected=(), seed=12, v=3 * 7 * 4)
+
+
+# ---------------------------------------------------------------------------
+# legacy temporal family (ResNet50TP/TA/RNN) vs the reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ref_cls,flax_name",
+    [("ResNet50TP", "res50tp_legacy"), ("ResNet50TA", "res50ta"), ("ResNet50RNN", "res50rnn")],
+)
+def test_temporal_legacy_parity_vs_reference(ref_cls, flax_name):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.models.weight_convert import convert_temporal_state_dict, merge_converted
+
+    sys.modules.pop("torchreid.models.resnet_temporal", None)
+    ref = importlib.import_module("torchreid.models.resnet_temporal")
+    tmodel = getattr(ref, ref_cls)(num_classes=5, loss={"xent", "htri"}).eval()
+    _randomize_bn_stats(tmodel, seed=21)
+
+    converted, skipped = convert_temporal_state_dict(tmodel.state_dict())
+    assert not skipped, skipped[:5]
+
+    fmodel = init_model(flax_name, num_classes=5, loss={"xent", "htri"})
+    # TA's attention_conv kernel is (7, 4) == the 224x112 feature map
+    variables = init_params(
+        fmodel, jax.random.PRNGKey(0), seq_len=3, height=224, width=112, batch_size=1
+    )
+    merged, matched, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    rng = np.random.RandomState(21)
+    x = rng.rand(1, 3, 3, 224, 112).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()
+    got = np.asarray(
+        fmodel.apply(merged, jnp.asarray(x.transpose(0, 1, 3, 4, 2)), None, train=False)
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
