@@ -436,6 +436,178 @@ def convert_temporal_state_dict(state_dict: dict):
     )
 
 
+def convert_resnet50m_state_dict(state_dict: dict):
+    """torch ResNet50M (mid-level features, resnet.py:64-115) -> Flax tree.
+
+    The reference re-groups the torchvision children: layers1 = Sequential
+    (conv1, bn1, relu), layers2 = (maxpool, layer1), layers3/4 = layer2/3,
+    layers5a/b/c = layer4's three blocks, fc_fuse = (Linear, BN1d, ReLU).
+
+    Returns ({'params', 'batch_stats'}, skipped_names)."""
+    params, batch_stats, skipped = {}, {}, []
+
+    def bn_leaf(leaf):
+        return {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }.get(leaf)
+
+    def emit(path, collection, arr):
+        (params if collection == "params" else batch_stats)[path] = arr
+
+    def block_leaf(prefix, rest, arr):
+        """map a bottleneck's own conv/bn/downsample leaves (no block level)."""
+        if rest[0].startswith("conv") and rest[1] == "weight":
+            emit(prefix + (rest[0], "kernel"), "params", _transform(arr, "conv"))
+            return True
+        if rest[0].startswith("bn"):
+            hit = bn_leaf(rest[1])
+            if hit:
+                emit(prefix + (rest[0], hit[0]), hit[1], arr)
+                return True
+        if rest[0] == "downsample":
+            if rest[1] == "0" and rest[2] == "weight":
+                emit(prefix + ("downsample_conv", "kernel"), "params", _transform(arr, "conv"))
+                return True
+            if rest[1] == "1":
+                hit = bn_leaf(rest[2])
+                if hit:
+                    emit(prefix + ("downsample_bn", hit[0]), hit[1], arr)
+                    return True
+        return False
+
+    stage_map = {"layers2": ("1", "layer1"), "layers3": (None, "layer2"),
+                 "layers4": (None, "layer3")}
+    for name, value in state_dict.items():
+        name = re.sub(r"^module\.", "", name)
+        if name.endswith("num_batches_tracked"):
+            continue
+        parts = name.split(".")
+        arr = _to_numpy(value)
+        if parts[0] == "layers1":
+            if parts[1] == "0" and parts[2] == "weight":
+                emit(("trunk", "stem", "conv1", "kernel"), "params", _transform(arr, "conv"))
+                continue
+            if parts[1] == "1":
+                hit = bn_leaf(parts[2])
+                if hit:
+                    emit(("trunk", "stem", "bn1", hit[0]), hit[1], arr)
+                    continue
+        elif parts[0] in stage_map:
+            seq_idx, layer = stage_map[parts[0]]
+            rest = parts[1:]
+            if seq_idx is not None:
+                if rest[0] != seq_idx:  # layers2.0 is the maxpool
+                    skipped.append(name)
+                    continue
+                rest = rest[1:]
+            mapped = _map_res_block(("trunk", layer), rest)
+            if mapped:
+                emit(mapped[0], mapped[1], _transform(arr, mapped[2]))
+                continue
+        elif parts[0] in ("layers5a", "layers5b", "layers5c"):
+            if block_leaf((parts[0],), parts[1:], arr):
+                continue
+        elif parts[0] == "fc_fuse":
+            if parts[1] == "0":
+                emit(("fc_fuse", "kernel" if parts[2] == "weight" else "bias"),
+                     "params", _transform(arr, "linear" if parts[2] == "weight" else None))
+                continue
+            if parts[1] == "1":
+                hit = bn_leaf(parts[2])
+                if hit:
+                    emit(("fc_fuse_bn", hit[0]), hit[1], arr)
+                    continue
+        elif parts[0] == "classifier":
+            emit(("classifier", "kernel" if parts[1] == "weight" else "bias"),
+                 "params", _transform(arr, "linear" if parts[1] == "weight" else None))
+            continue
+        skipped.append(name)
+    return (
+        {
+            "params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(batch_stats),
+        },
+        skipped,
+    )
+
+
+def convert_resnet3d_state_dict(state_dict: dict):
+    """torch ResNet3d (Kinetics family, resnet3d.py:110-233) -> Flax tree.
+
+    conv1/bn1/layer{i}.{j}.{convK,bnK,downsample} map onto our flat
+    `layer{i}_block{j}` modules; Conv3d OIDHW kernels -> DHWIO; the
+    Kinetics `fc` head maps onto `classifier` (shape-filtered away when
+    class counts differ, like the reference's partial load :155-165).
+
+    Returns ({'params', 'batch_stats'}, skipped_names)."""
+    params, batch_stats, skipped = {}, {}, []
+
+    def bn_leaf(leaf):
+        return {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }.get(leaf)
+
+    def emit(path, collection, arr):
+        (params if collection == "params" else batch_stats)[path] = arr
+
+    for name, value in state_dict.items():
+        name = re.sub(r"^module\.", "", name)
+        if name.endswith("num_batches_tracked"):
+            continue
+        parts = name.split(".")
+        arr = _to_numpy(value)
+        if parts[0] == "conv1" and parts[1] == "weight":
+            emit(("conv1", "kernel"), "params", arr.transpose(2, 3, 4, 1, 0))
+            continue
+        if parts[0] == "bn1":
+            hit = bn_leaf(parts[1])
+            if hit:
+                emit(("bn1", hit[0]), hit[1], arr)
+                continue
+        m = re.match(r"^layer(\d)$", parts[0])
+        if m:
+            prefix = (f"layer{m.group(1)}_block{parts[1]}",)
+            rest = parts[2:]
+            if rest[0].startswith("conv") and rest[1] == "weight":
+                emit(prefix + (rest[0], "kernel"), "params", arr.transpose(2, 3, 4, 1, 0))
+                continue
+            if rest[0].startswith("bn"):
+                hit = bn_leaf(rest[1])
+                if hit:
+                    emit(prefix + (rest[0], hit[0]), hit[1], arr)
+                    continue
+            if rest[0] == "downsample":
+                if rest[1] == "0" and rest[2] == "weight":
+                    emit(prefix + ("downsample_conv", "kernel"), "params",
+                         arr.transpose(2, 3, 4, 1, 0))
+                    continue
+                if rest[1] == "1":
+                    hit = bn_leaf(rest[2])
+                    if hit:
+                        emit(prefix + ("downsample_bn", hit[0]), hit[1], arr)
+                        continue
+            skipped.append(name)
+            continue
+        if parts[0] == "fc":
+            emit(("classifier", "kernel" if parts[1] == "weight" else "bias"),
+                 "params", arr.T if parts[1] == "weight" else arr)
+            continue
+        skipped.append(name)
+    return (
+        {
+            "params": traverse_util.unflatten_dict(params),
+            "batch_stats": traverse_util.unflatten_dict(batch_stats),
+        },
+        skipped,
+    )
+
+
 def convert_imagenet_resnet(state_dict: dict, target_params: dict):
     """torchvision-style ResNet state dict -> converted variable tree.
 

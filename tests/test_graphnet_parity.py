@@ -218,3 +218,158 @@ def test_temporal_legacy_parity_vs_reference(ref_cls, flax_name):
     )
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_resnet3d_parity_vs_reference():
+    """3D ResNet (Kinetics family): pooled eval features match the
+    reference ResNet3dT composition (children()[:-1] + adaptive pool,
+    resnet3dt.py:24-36) at depth 10."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.models.weight_convert import convert_resnet3d_state_dict, merge_converted
+
+    ref = importlib.import_module("torchreid.models.resnet3d")
+    tm = ref.ResNet3d(ref.BasicBlock, [1, 1, 1, 1], num_classes=7).eval()
+    _randomize_bn_stats(tm, seed=31)
+
+    converted, skipped = convert_resnet3d_state_dict(tm.state_dict())
+    assert not skipped, skipped[:5]
+
+    fmodel = init_model("resnet3d50", num_classes=7, loss={"xent", "htri"}, depth=10)
+    variables = init_params(
+        fmodel, jax.random.PRNGKey(0), seq_len=4, height=64, width=32, batch_size=1
+    )
+    merged, matched, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    rng = np.random.RandomState(31)
+    x = rng.rand(2, 4, 3, 64, 32).astype(np.float32)  # (B, S, C, H, W)
+    base = tnn.Sequential(*list(tm.children())[:-1])
+    with torch.no_grad():
+        z = base(torch.tensor(x).permute(0, 2, 1, 3, 4))
+        want = torch.nn.functional.adaptive_avg_pool3d(z, 1).flatten(1).numpy()
+    got = np.asarray(
+        fmodel.apply(merged, jnp.asarray(x.transpose(0, 1, 3, 4, 2)), None, train=False)
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# legacy image family (ResNet50/101/50M/50B) vs the reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ref_cls,flax_name,layers",
+    [
+        ("ResNet50", "resnet50", (3, 4, 6, 3)),
+        ("ResNet101", "resnet101", (3, 4, 23, 3)),
+        ("ResNet50B", "resnet50b", (3, 4, 6, 3)),
+    ],
+)
+def test_image_family_parity_vs_reference(ref_cls, flax_name, layers):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.models import init_image_model, init_image_params
+    from agrl_tpu.models.weight_convert import convert_temporal_state_dict, merge_converted
+
+    # resnet101 stub: same layout, deeper layer3
+    class _ResNet101(_ResNet50):
+        def __init__(self):
+            tnn.Module.__init__(self)
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, 3, 1)
+            self.layer2 = self._make_layer(128, 4, 2)
+            self.layer3 = self._make_layer(256, 23, 2)
+            self.layer4 = self._make_layer(512, 3, 2)
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Linear(2048, 1000)
+
+    tv = sys.modules["torchvision"]
+    tv.models.resnet101 = lambda pretrained=True: _ResNet101()
+
+    sys.modules.pop("torchreid.models.resnet", None)
+    ref = importlib.import_module("torchreid.models.resnet")
+    tmodel = getattr(ref, ref_cls)(num_classes=5, loss={"xent", "htri"}).eval()
+    _randomize_bn_stats(tmodel, seed=41)
+
+    converted, skipped = convert_temporal_state_dict(tmodel.state_dict())
+    # ResNet50B's train-only bottleneck head has no temporal counterpart
+    bad = [n for n in skipped if not n.startswith("bottleneck.")]
+    assert not bad, bad[:5]
+
+    fmodel = init_image_model(flax_name, num_classes=5, loss={"xent", "htri"})
+    variables = init_image_params(
+        fmodel, jax.random.PRNGKey(0), height=64, width=32, batch_size=1
+    )
+    # the image models use 'backbone'; classifier shapes match; the B
+    # variant's Flax bottleneck_fc/bn keep their init (train-only head)
+    merged, matched, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    rng = np.random.RandomState(41)
+    x = rng.rand(2, 3, 64, 32).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()
+    got = np.asarray(
+        fmodel.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_resnet50m_parity_vs_reference():
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrl_tpu.models import init_image_model, init_image_params
+    from agrl_tpu.models.weight_convert import convert_resnet50m_state_dict, merge_converted
+
+    sys.modules.pop("torchreid.models.resnet", None)
+    ref = importlib.import_module("torchreid.models.resnet")
+    tmodel = ref.ResNet50M(num_classes=5, loss={"xent", "htri"}).eval()
+    _randomize_bn_stats(tmodel, seed=42)
+
+    converted, skipped = convert_resnet50m_state_dict(tmodel.state_dict())
+    bad = [n for n in skipped if "layers2.0" not in n]  # the maxpool
+    assert not bad, bad[:5]
+
+    fmodel = init_image_model("resnet50m", num_classes=5, loss={"xent", "htri"})
+    variables = init_image_params(
+        fmodel, jax.random.PRNGKey(0), height=64, width=32, batch_size=1
+    )
+    merged, matched, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    rng = np.random.RandomState(42)
+    x = rng.rand(2, 3, 64, 32).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()  # (2, 3072) combo feature
+    got = np.asarray(
+        fmodel.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    )
+    assert got.shape == want.shape == (2, 3072)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
