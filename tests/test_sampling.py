@@ -142,3 +142,74 @@ class TestIdentitySamplers:
         assert isinstance(s, RandomIdentitySamplerV1)
         with pytest.raises(KeyError):
             init_sampler("eval_me", data, 16, 4)
+
+
+class TestSamplersVsReferenceClasses:
+    """Structural equivalence with the imported reference samplers
+    (torchreid/samplers.py): epoch lengths and batch-composition
+    invariants must match (the reference mixes random/np.random/torch
+    RNG streams, so draw-for-draw parity is not defined)."""
+
+    def _dataset(self, rng, num_pids=6, max_per_pid=7):
+        data = []
+        for pid in range(num_pids):
+            for _ in range(rng.randint(1, max_per_pid)):
+                data.append((("x",), pid, 0))
+        return data
+
+    def _ref_samplers(self):
+        import importlib
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            return importlib.import_module("torchreid.samplers")
+        finally:
+            sys.path.remove("/root/reference")
+
+    def test_v1_length_and_composition(self):
+        import numpy as np
+
+        from agrl_tpu.data.samplers import init_sampler
+
+        ref = self._ref_samplers()
+        rng = np.random.RandomState(0)
+        data = self._dataset(rng)
+        K = 4
+        ref_s = ref.RandomIdentitySamplerV1(data, num_instances=K)
+        ours = init_sampler("RandomIdentitySamplerV1", data, batch_size=8,
+                            num_instances=K, seed=0)
+        assert len(ours) == len(ref_s) == 6 * K
+        ref_idxs = list(iter(ref_s))
+        our_idxs = list(iter(ours))
+        assert len(ref_idxs) == len(our_idxs)
+        pid_of = {i: pid for i, (_, pid, _) in enumerate(data)}
+        for idxs in (ref_idxs, our_idxs):
+            # K consecutive samples share one pid; every pid appears once
+            pids_seen = [pid_of[int(i)] for i in idxs]
+            chunks = [pids_seen[i * K:(i + 1) * K] for i in range(6)]
+            assert all(len(set(c)) == 1 for c in chunks)
+            assert sorted(c[0] for c in chunks) == list(range(6))
+
+    def test_v0_length_estimate_and_batches(self):
+        import numpy as np
+
+        from agrl_tpu.data.samplers import init_sampler
+
+        ref = self._ref_samplers()
+        rng = np.random.RandomState(3)
+        data = self._dataset(rng, num_pids=8, max_per_pid=9)
+        B, K = 8, 2
+        ref_s = ref.RandomIdentitySampler(data, batch_size=B, num_instances=K)
+        ours = init_sampler("RandomIdentitySampler", data, batch_size=B,
+                            num_instances=K, seed=0)
+        assert len(ours) == len(ref_s)  # same epoch-length estimate formula
+        pid_of = {i: pid for i, (_, pid, _) in enumerate(data)}
+        P = B // K
+        for idxs in (list(iter(ref_s)), list(iter(ours))):
+            assert len(idxs) % B == 0
+            for b in range(len(idxs) // B):
+                batch = [pid_of[int(i)] for i in idxs[b * B:(b + 1) * B]]
+                # P distinct pids, K instances each
+                assert len(set(batch)) == P
+                assert all(batch.count(p) == K for p in set(batch))
