@@ -66,7 +66,8 @@ def make_train_step(
         xent = deep_supervision(xent_fn, out_list, pids)
         htri = deep_supervision(htri_fn, feat_list, pids)
         loss = lambda_xent * xent + lambda_htri * htri
-        # top-1 precision averaged over heads (reference accuracy().mean)
+        # top-1 precision FRACTION averaged over heads (reference
+        # accuracy().mean(axis=0)[0]; the driver prints it raw)
         prec = jnp.mean(
             jnp.stack(
                 [jnp.mean(jnp.argmax(o, axis=1) == pids) for o in out_list]
@@ -96,7 +97,7 @@ def make_train_step(
             "loss": loss,
             "xent_loss": xent,
             "htri_loss": htri,
-            "top1": prec * 100.0,
+            "top1": prec,
         }
         return new_state, metrics
 

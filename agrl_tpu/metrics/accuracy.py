@@ -2,7 +2,8 @@
 
 Parity with reference torchreid/metrics/accuracy.py:9-33: accepts a single
 logits array or a list of per-head logits; returns a list (per head) of
-top-k precision percentages.
+top-k precision FRACTIONS (the reference multiplies by 1/batch_size,
+accuracy.py:23; the driver prints these raw, e.g. 'Top1 0.1250').
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ def _single_head_accuracy(output: np.ndarray, target: np.ndarray, topk=(1,)):
     res = []
     for k in topk:
         correct_k = correct[:, :k].any(axis=1).sum()
-        res.append(correct_k * 100.0 / batch_size)
+        res.append(correct_k * 1.0 / batch_size)
     return res
 
 

@@ -114,7 +114,7 @@ def test_accuracy_multi_head():
     logits = np.array([[5.0, 1.0, 0.0], [0.0, 5.0, 1.0], [0.0, 1.0, 5.0]])
     target = np.array([0, 1, 1])
     (res,) = accuracy(logits, target, topk=(1, 2))
-    assert res[0] == pytest.approx(100 * 2 / 3)
-    assert res[1] == pytest.approx(100.0)
+    assert res[0] == pytest.approx(2 / 3)
+    assert res[1] == pytest.approx(1.0)
     res2 = accuracy([logits, logits], target, topk=(1,))
     assert len(res2) == 2

@@ -1,0 +1,93 @@
+"""Distance matrix, accuracy, k-reciprocal re-ranking, and calc_splits
+tested directly against the imported reference implementations."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _ref(module):
+    import importlib
+    import types
+
+    # torchreid.metrics.__init__ imports rank.py, which wants the
+    # pre-0.24 sklearn.metrics.base module
+    if "sklearn.metrics.base" not in sys.modules:
+        from sklearn.metrics import _base as _sk_base
+
+        shim = types.ModuleType("sklearn.metrics.base")
+        shim._average_binary_score = _sk_base._average_binary_score
+        sys.modules["sklearn.metrics.base"] = shim
+    sys.path.insert(0, REF)
+    try:
+        return importlib.import_module(module)
+    finally:
+        sys.path.remove(REF)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_compute_distance_matrix_vs_reference(metric):
+    from agrl_tpu.metrics.distance import compute_distance_matrix
+
+    ref = _ref("torchreid.metrics.distance")
+    rng = np.random.RandomState(0)
+    qf = rng.randn(7, 16).astype(np.float32)
+    gf = rng.randn(11, 16).astype(np.float32)
+    want = ref.compute_distance_matrix(
+        torch.tensor(qf), torch.tensor(gf), metric=metric
+    ).numpy()
+    got = compute_distance_matrix(qf, gf, metric)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_accuracy_vs_reference():
+    """topk=(1,) only: the reference's correct[:k].view() crashes on
+    modern torch for k>1 (non-contiguous view) — its own latent bug."""
+    from agrl_tpu.metrics.accuracy import accuracy
+
+    ref = _ref("torchreid.metrics.accuracy")
+    rng = np.random.RandomState(1)
+    logits = rng.randn(16, 9).astype(np.float32)
+    labels = rng.randint(0, 9, 16)
+    want = ref.accuracy(torch.tensor(logits), torch.tensor(labels), topk=(1,))
+    got = accuracy(logits, labels, topk=(1,))
+    np.testing.assert_allclose(got[0][0], float(want[0][0]), atol=1e-6)
+    # multi-head: per-head rows match
+    want_mh = ref.accuracy(
+        [torch.tensor(logits), -torch.tensor(logits)], torch.tensor(labels), topk=(1,)
+    )
+    got_mh = accuracy([logits, -logits], labels, topk=(1,))
+    np.testing.assert_allclose(
+        [h[0] for h in got_mh], want_mh[:, 0], atol=1e-6
+    )
+
+
+def test_re_ranking_vs_reference():
+    from agrl_tpu.metrics.rerank import re_ranking
+
+    ref = _ref("torchreid.utils.re_ranking")
+    rng = np.random.RandomState(2)
+    q, g, d = 12, 30, 8
+    qf = rng.randn(q, d)
+    gf = rng.randn(g, d)
+
+    def sqdist(a, b):
+        return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+    qg, qq, gg = sqdist(qf, gf), sqdist(qf, qf), sqdist(gf, gf)
+    want = ref.re_ranking(qg, qq, gg, k1=6, k2=3, lambda_value=0.3)
+    got = re_ranking(qg, qq, gg, k1=6, k2=3, lambda_value=0.3)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_calc_splits_vs_reference():
+    from agrl_tpu.utils.reidtools import calc_splits
+
+    ref = _ref("torchreid.utils.reidtools")
+    for n in (1, 2, 4, 8):
+        assert calc_splits(n) == ref.calc_splits(n), n

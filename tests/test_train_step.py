@@ -34,7 +34,7 @@ def test_single_head_arch_trains():
     x, pids, adj = make_batch(np.random.RandomState(0))
     state, metrics = step(state, x, pids, adj, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-    assert 0.0 <= float(metrics["top1"]) <= 100.0
+    assert 0.0 <= float(metrics["top1"]) <= 1.0
 
 
 def test_loss_decreases_single_device():
@@ -77,7 +77,7 @@ def test_train_step_on_8dev_mesh():
         xs, pidss, adjs = shard_batch(mesh, x, pids, adj)
         state, metrics = step(state, xs, pidss, adjs, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-    assert 0.0 <= float(metrics["top1"]) <= 100.0
+    assert 0.0 <= float(metrics["top1"]) <= 1.0
 
 
 def test_dp_sharded_matches_replicated():
