@@ -91,3 +91,67 @@ def test_calc_splits_vs_reference():
     ref = _ref("torchreid.utils.reidtools")
     for n in (1, 2, 4, 8):
         assert calc_splits(n) == ref.calc_splits(n), n
+
+
+@pytest.mark.parametrize("pyramid_part,num_scale", [(True, 1), (False, 1), (True, 2)])
+def test_graph_builder_vs_reference_generate_graph(pyramid_part, num_scale):
+    """The pose->adjacency builder vs the reference's own generate_graph
+    (dataset_loader.py:218-342): same stripes, contiguity fill, pyramid
+    expansion, same-part cliques and multiscale blocks — incl. missing
+    poses and sub-threshold keypoints."""
+    import types
+
+    if "torchvision" not in sys.modules or not hasattr(
+        sys.modules.get("torchvision", None), "transforms"
+    ):
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace()
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.functional = types.ModuleType(
+            "torchvision.transforms.functional"
+        )
+        # the reference transforms.py star-imports and subclasses these;
+        # generate_graph never touches them, so empty shells suffice
+        for cls in ("ToPILImage", "Resize", "RandomHorizontalFlip",
+                    "ToTensor", "Normalize", "Compose"):
+            setattr(tv.transforms, cls, type(cls, (), {}))
+        tv.transforms.__all__ = ["ToPILImage", "Resize", "RandomHorizontalFlip",
+                                 "ToTensor", "Normalize", "Compose"]
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+    ref_dl = _ref("torchreid.dataset_loader")
+
+    from agrl_tpu.data.graph import GraphBuilder
+
+    rng = np.random.RandomState(int(pyramid_part) * 10 + num_scale)
+    S, W, H = 4, 64, 128
+    names = [f"{i:04d}C1T0001F{i:03d}.jpg" for i in range(S)]
+    paths = [f"data/mars/bbox_train/0001/{n}" for n in names]
+    sizes = [(W, H)] * S
+
+    poses = {}
+    poses_arr = np.zeros((S, 18, 3))
+    for i, n in enumerate(names):
+        if i == 2:
+            continue  # frame with no detected pose -> empty part sets
+        kp = np.zeros((18, 3))
+        kp[:, 0] = rng.rand(18) * W
+        kp[:, 1] = rng.rand(18) * H
+        kp[:, 2] = rng.rand(18)  # some below the 0.1 threshold
+        poses[n] = kp
+        poses_arr[i] = kp
+
+    want = np.asarray(
+        ref_dl.generate_graph(
+            [None] * S, paths, sizes, poses, num_split=4, num_parts=3,
+            num_scale=num_scale, pyramid_part=pyramid_part,
+        )
+    )
+    gb = GraphBuilder(
+        num_split=4, num_parts=3, num_scale=num_scale,
+        pyramid_part=pyramid_part, enable_pose=True,
+    )
+    got = np.asarray(gb(poses_arr, np.full(S, float(H))))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
