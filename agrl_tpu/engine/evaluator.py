@@ -229,10 +229,10 @@ class Evaluator:
         mesh=None,
     ):
         # features can stay on device whenever the ranking itself runs on
-        # device (no host distmat/re-rank needed): saves the D2H round-trip
+        # device (incl. re-ranking, which has a device path): saves the
+        # D2H round-trip
         on_device = (
             device_rank
-            and not re_rank
             and not return_distmat
             and metric_protocol in ("mars", "market1501", "cuhk03")
         )
@@ -256,11 +256,38 @@ class Evaluator:
         # fast path: the whole protocol on device — no (Q, G) matrix on
         # host. mars: streaming top-k + masked-cumsum CMC/mAP; market1501:
         # device argsort + cumsums; cuhk03: vectorized single-gallery-shot
-        # resampling. Re-ranking and distmat export need the full host
-        # matrix, so they fall through.
-        if device_rank and not re_rank and not return_distmat:
+        # resampling; re-ranking: k-reciprocal as boolean matmuls + tiled
+        # min-plus Jaccard (ops/rerank.py). Only distmat export (and
+        # protocols without a device scorer) falls through to the host.
+        if device_rank and not return_distmat:
             device_cmc = None
-            if metric_protocol == "mars":
+            if re_rank and metric_protocol in ("mars", "market1501", "cuhk03"):
+                from agrl_tpu.ops.rank import (
+                    cuhk03_cmc_map,
+                    market1501_cmc_map,
+                    mars_cmc_map_from_distmat,
+                )
+                from agrl_tpu.ops.rerank import re_ranking_from_features
+
+                def device_cmc():
+                    print("Applying person re-ranking (device)...")
+                    dm = re_ranking_from_features(
+                        jnp.asarray(qf), jnp.asarray(gf), dist_metric
+                    )
+                    if metric_protocol == "mars":
+                        return mars_cmc_map_from_distmat(
+                            dm, q_pids, g_pids, q_camids, g_camids
+                        )
+                    if metric_protocol == "market1501":
+                        return market1501_cmc_map(
+                            dm, q_pids, g_pids, q_camids, g_camids
+                        )
+                    return cuhk03_cmc_map(
+                        dm, q_pids, g_pids, q_camids, g_camids,
+                        jax.random.PRNGKey(0),
+                    )
+
+            elif metric_protocol == "mars":
                 from agrl_tpu.ops.rank import evaluate_mars_device
 
                 device_cmc = lambda: evaluate_mars_device(  # noqa: E731

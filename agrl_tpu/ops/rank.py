@@ -160,6 +160,20 @@ def market1501_cmc_map(
     return cmc, mAP
 
 
+@partial(jax.jit, static_argnames=("max_rank",))
+def mars_cmc_map_from_distmat(
+    distmat, q_pids, g_pids, q_camids, g_camids, max_rank: int = 50
+):
+    """MARS protocol from an explicit (Q, G) distance matrix (e.g. the
+    re-ranked one): device top-k then the masked-cumsum scorer."""
+    k = min(max_rank, distmat.shape[1])
+    _, idx = jax.lax.top_k(-jnp.asarray(distmat, jnp.float32), k)
+    return mars_cmc_map_from_topk(
+        idx, jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=max_rank,
+    )
+
+
 @partial(jax.jit, static_argnames=("max_rank", "metric", "tile"))
 def evaluate_mars_device(
     qf, gf, q_pids, g_pids, q_camids, g_camids,

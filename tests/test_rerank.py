@@ -85,3 +85,36 @@ def test_rerank_improves_or_preserves_rank1():
     after = (gp[np.argmin(rr, axis=1)] == qp).mean()
     assert rr.shape == qg.shape
     assert after >= before - 0.1  # sanity: re-ranking should not collapse
+
+
+# ---- device (TPU-native) re-ranking: ops/rerank.py ----
+
+
+@pytest.mark.parametrize("seed,k1,k2", [(0, 8, 3), (1, 8, 3), (2, 6, 1), (3, 10, 4)])
+def test_rerank_device_matches_host(seed, k1, k2):
+    import numpy as np
+
+    from agrl_tpu.ops.rerank import re_ranking_device
+
+    rng = np.random.RandomState(seed)
+    qg, qq, gg, _, _ = make_dists(rng, num_q=15, num_g=45)
+    got = np.asarray(re_ranking_device(qg, qq, gg, k1=k1, k2=k2))
+    want = re_ranking(qg, qq, gg, k1=k1, k2=k2)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_rerank_device_from_features():
+    import numpy as np
+
+    from agrl_tpu.ops.rerank import re_ranking_from_features
+
+    rng = np.random.RandomState(4)
+    qf = rng.randn(12, 16).astype(np.float32)
+    gf = rng.randn(40, 16).astype(np.float32)
+
+    def d2(a, b):  # squared euclidean, like the evaluator's host path
+        return ((a[:, None] - b[None]) ** 2).sum(-1)
+
+    got = np.asarray(re_ranking_from_features(qf, gf, metric="euclidean", k1=8, k2=3))
+    want = re_ranking(d2(qf, gf), d2(qf, qf), d2(gf, gf), k1=8, k2=3)
+    np.testing.assert_allclose(got, want, atol=2e-4)

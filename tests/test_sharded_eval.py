@@ -95,3 +95,33 @@ def test_mesh_sharded_extraction_matches_single(tmp_path):
     )
     np.testing.assert_allclose(float(r1_m), float(r1_s), atol=1e-6)
     np.testing.assert_allclose(float(map_m), float(map_s), atol=1e-6)
+
+
+def test_evaluator_rerank_device_matches_host(tmp_path):
+    """--re-ranking through the device path (ops/rerank.py) equals the
+    host k-reciprocal implementation end to end."""
+    ds = init_vidreid_dataset(
+        "synthetic", root=str(tmp_path / "drr"), num_pids=4, tracklets_per_pid=3,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    kw = dict(seq_len=4, sample="evenly", height=64, width=32,
+              pose_info=ds.process_poses, num_split=4, pyramid_part=True)
+    qloader = ClipLoader(VideoClipDataset(ds.query, **kw), batch_size=6, num_workers=1)
+    gloader = ClipLoader(VideoClipDataset(ds.gallery, **kw), batch_size=6, num_workers=1)
+    model = init_model("vmgn_tiny", num_classes=4, loss={"xent", "htri"},
+                       num_split=4, pyramid_part=True, num_gb=1,
+                       use_pose=True, learn_graph=True)
+    variables = init_params(model, jax.random.PRNGKey(0), seq_len=4, height=64, width=32)
+    ev = Evaluator(model, test_sample="evenly")
+
+    for protocol in ("mars", "market1501"):
+        r1_host, map_host = ev.evaluate(
+            variables, qloader, gloader, dist_metric="cosine",
+            re_rank=True, device_rank=False, metric_protocol=protocol,
+        )
+        r1_dev, map_dev = ev.evaluate(
+            variables, qloader, gloader, dist_metric="cosine",
+            re_rank=True, device_rank=True, metric_protocol=protocol,
+        )
+        np.testing.assert_allclose(r1_host, r1_dev, atol=1e-5)
+        np.testing.assert_allclose(map_host, map_dev, atol=1e-5)
