@@ -265,7 +265,10 @@ class ClipLoader:
         imgs = np.stack([it[0] for it in items])
         pids = np.asarray([it[1] for it in items], dtype=np.int32)
         camids = np.asarray([it[2] for it in items], dtype=np.int32)
-        adjs = np.stack([it[3] for it in items]).astype(np.float32)
+        if len(items[0]) < 4:  # ImageDataset items carry no adjacency
+            adjs = np.ones((len(items), 1, 1), dtype=np.float32)
+        else:
+            adjs = np.stack([it[3] for it in items]).astype(np.float32)
         return imgs, pids, camids, adjs
 
 

@@ -123,6 +123,8 @@ class Evaluator:
             feats.append(f)
             pids.extend(np.asarray(bpids).tolist())
             camids.extend(np.asarray(bcamids).tolist())
+        if not feats:
+            raise ValueError(f"{name} loader yielded no tracklets")
         features = (jnp.concatenate if keep_on_device else np.concatenate)(feats, axis=0)
         print(
             f"Extracted features for {name} set, obtained "
@@ -204,6 +206,8 @@ class Evaluator:
             flush()
         flush(final=True)
 
+        if not acc:
+            raise ValueError(f"{name} loader yielded no tracklets")
         D = next(iter(acc.values()))[0].shape[0]
         features = np.empty((n_tracklets, D), np.float32)
         for seg in range(n_tracklets):
@@ -261,47 +265,38 @@ class Evaluator:
         # protocols without a device scorer) falls through to the host.
         if device_rank and not return_distmat:
             device_cmc = None
-            if re_rank and metric_protocol in ("mars", "market1501", "cuhk03"):
+            if metric_protocol in ("mars", "market1501", "cuhk03"):
                 from agrl_tpu.ops.rank import (
                     cuhk03_cmc_map,
+                    evaluate_mars_device,
                     market1501_cmc_map,
                     mars_cmc_map_from_distmat,
                 )
-                from agrl_tpu.ops.rerank import re_ranking_from_features
 
                 def device_cmc():
-                    print("Applying person re-ranking (device)...")
-                    dm = re_ranking_from_features(
-                        jnp.asarray(qf), jnp.asarray(gf), dist_metric
-                    )
+                    if re_rank:
+                        from agrl_tpu.ops.rerank import re_ranking_from_features
+
+                        print("Applying person re-ranking (device)...")
+                        dm = re_ranking_from_features(
+                            jnp.asarray(qf), jnp.asarray(gf), dist_metric
+                        )
+                    elif metric_protocol == "mars":
+                        # streaming top-k: no full (Q, G) matrix at all
+                        return evaluate_mars_device(
+                            jnp.asarray(qf), jnp.asarray(gf),
+                            q_pids, g_pids, q_camids, g_camids,
+                            metric=dist_metric,
+                        )
+                    else:
+                        # compute_distmat comes from the module-level import
+                        dm = compute_distmat(
+                            jnp.asarray(qf), jnp.asarray(gf), dist_metric
+                        )
                     if metric_protocol == "mars":
                         return mars_cmc_map_from_distmat(
                             dm, q_pids, g_pids, q_camids, g_camids
                         )
-                    if metric_protocol == "market1501":
-                        return market1501_cmc_map(
-                            dm, q_pids, g_pids, q_camids, g_camids
-                        )
-                    return cuhk03_cmc_map(
-                        dm, q_pids, g_pids, q_camids, g_camids,
-                        jax.random.PRNGKey(0),
-                    )
-
-            elif metric_protocol == "mars":
-                from agrl_tpu.ops.rank import evaluate_mars_device
-
-                device_cmc = lambda: evaluate_mars_device(  # noqa: E731
-                    jnp.asarray(qf), jnp.asarray(gf),
-                    q_pids, g_pids, q_camids, g_camids, metric=dist_metric,
-                )
-            elif metric_protocol in ("market1501", "cuhk03"):
-                # compute_distmat comes from the module-level import
-                from agrl_tpu.ops.rank import cuhk03_cmc_map, market1501_cmc_map
-
-                def device_cmc():
-                    dm = compute_distmat(
-                        jnp.asarray(qf), jnp.asarray(gf), dist_metric
-                    )
                     if metric_protocol == "market1501":
                         return market1501_cmc_map(
                             dm, q_pids, g_pids, q_camids, g_camids

@@ -37,13 +37,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _topk_membership(dist: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Boolean (N, N): True where column j is among row i's k smallest.
+def _membership(idx: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
+    """Boolean (N, N): True where column j is among row i's k nearest.
 
-    k clamps to N like the host path's `rank[i, :k]` slice does."""
-    n = dist.shape[0]
-    _, idx = jax.lax.top_k(-dist, min(k, n))
-    return jnp.zeros((n, n), bool).at[jnp.arange(n)[:, None], idx].set(True)
+    `idx` is one (N, kmax) top-k index table sorted by distance, so every
+    smaller-k membership is a column slice of it; k clamps to N like the
+    host path's `rank[i, :k]` slice does."""
+    cols = idx[:, : min(k, n)]
+    return jnp.zeros((n, n), bool).at[jnp.arange(n)[:, None], cols].set(True)
 
 
 def _bool_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -93,10 +94,16 @@ def re_ranking_device(
     n = dist.shape[0]
     half_k = int(round(k1 / 2))
 
+    # ONE top-k pass serves all three neighbor sets (k1+1, half_k+1, k2):
+    # lax.top_k returns indices sorted by distance, so the smaller sets
+    # are column slices
+    kmax = min(max(k1 + 1, half_k + 1, k2), n)
+    _, nn_idx = jax.lax.top_k(-dist, kmax)
+
     # k-reciprocal membership at k1 and k1/2
-    f_full = _topk_membership(dist, k1 + 1)
+    f_full = _membership(nn_idx, k1 + 1, n)
     r_full = f_full & f_full.T
-    f_half = _topk_membership(dist, half_k + 1)
+    f_half = _membership(nn_idx, half_k + 1, n)
     r_half = f_half & f_half.T
 
     # candidate expansion: for each candidate c in R(i), adopt Rh(c) when
@@ -113,10 +120,9 @@ def re_ranking_device(
     # local query expansion: mean membership over the k2 nearest neighbors
     if k2 != 1:
         k2 = min(k2, n)
-        _, k2_idx = jax.lax.top_k(-dist, k2)
         m_k2 = (
             jnp.zeros((n, n), jnp.float32)
-            .at[jnp.arange(n)[:, None], k2_idx]
+            .at[jnp.arange(n)[:, None], nn_idx[:, :k2]]
             .set(1.0)
         )
         v = (

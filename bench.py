@@ -154,6 +154,19 @@ def main():
         _ = (float(mAP), np.asarray(cmc))
         rank_s = min(rank_s, time.perf_counter() - t0)
 
+    # ---- k-reciprocal re-ranking fully on device (ops/rerank.py) ----
+    from agrl_tpu.ops.rerank import re_ranking_from_features
+
+    rr = re_ranking_from_features(qf, gf, "cosine")
+    _ = np.asarray(rr[:1, :1])  # compile + sync
+    rerank_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rr = re_ranking_from_features(qf, gf, "cosine")
+        _ = np.asarray(rr[:1, :1])
+        rerank_s = min(rerank_s, time.perf_counter() - t0)
+    del rr
+
     # ---- training throughput (reference: 89.744 clips/s on 4x TITAN X) ----
     from agrl_tpu.engine import create_train_state, make_train_step
     from agrl_tpu.optim import init_optim
@@ -205,6 +218,7 @@ def main():
         "extract_ms_per_batch64_bf16": round(extract_s * 1e3, 2),
         "device_distmat_plus_rank_s": round(rank_s, 4),
         "rank_vs_baseline": round(BASELINE_RANK_S / rank_s, 1),
+        "rerank_device_s": round(rerank_s, 3),
         "train_clips_per_sec": round(train_clips_per_sec, 1),
         "train_vs_baseline": round(train_clips_per_sec / 89.744, 2),
         "device": str(jax.devices()[0]),

@@ -16,9 +16,12 @@
 //     ok     : uint8 buffer (n,) — 1 on success, 0 on any failure
 //     threads: OpenMP worker count (<=0 -> default)
 //
-// Failures (missing file, corrupt JPEG) never throw: ok[i]=0 and the
-// caller falls back to the robust PIL reader (infinite-retry semantics of
-// the reference, dataset_loader.py:23-36).
+// Failures (missing file, corrupt or TRUNCATED JPEG, allocation failure)
+// never throw: ok[i]=0, the output row is zero-filled, and the caller
+// falls back to the robust PIL reader (infinite-retry semantics of the
+// reference, dataset_loader.py:23-36). Corrupt-data warnings count as
+// failures: libjpeg "recovers" from premature EOF by gray-filling the
+// remaining scanlines, which must not silently enter the pipeline.
 
 #include <csetjmp>
 #include <cstdint>
@@ -37,6 +40,7 @@ namespace {
 struct ErrorMgr {
   jpeg_error_mgr pub;
   std::jmp_buf jump;
+  int corrupt_warnings;
 };
 
 void error_exit(j_common_ptr cinfo) {
@@ -44,7 +48,14 @@ void error_exit(j_common_ptr cinfo) {
   std::longjmp(err->jump, 1);
 }
 
-void emit_message(j_common_ptr, int) {}  // silence warnings
+// msg_level == -1 is a corrupt-data warning (truncated stream, bad
+// marker, extraneous bytes): record it so the decode is marked failed.
+// msg_level >= 0 is a trace message: stay silent.
+void emit_message(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) {
+    reinterpret_cast<ErrorMgr*>(cinfo->err)->corrupt_warnings++;
+  }
+}
 
 // fixed-point (16.16) bilinear resize, RGB u8. src is (sh, sw, 3).
 void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
@@ -88,7 +99,14 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 }
 
 // decode one JPEG file into dst (dh, dw, 3); writes original (w, h).
-bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size) {
+// `scratch` is caller-owned: it must NOT be an automatic of this frame —
+// objects modified between setjmp and longjmp have indeterminate values
+// after the jump; a caller-frame vector's state is well-defined (the heap
+// allocation either fully happened or the longjmp fired inside libjpeg,
+// never mid-resize).
+bool decode_one_impl(const char* path, int dh, int dw, uint8_t* dst,
+                     int32_t* size, std::vector<uint8_t>& scratch,
+                     std::vector<uint8_t>& buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   // slurp the file (frames are tens of KB; one read beats stdio chatter)
@@ -99,17 +117,14 @@ bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size) {
     std::fclose(f);
     return false;
   }
-  std::vector<uint8_t> buf(static_cast<size_t>(len));
+  buf.resize(static_cast<size_t>(len));
   size_t got = std::fread(buf.data(), 1, buf.size(), f);
   std::fclose(f);
   if (got != buf.size()) return false;
 
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
-  // constructed BEFORE setjmp: a longjmp unwind skips destructors of
-  // objects created after the setjmp point (leak + UB), but returning
-  // normally from here destroys tmp as usual
-  std::vector<uint8_t> tmp;
+  jerr.corrupt_warnings = 0;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_message;
@@ -142,18 +157,32 @@ bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size) {
   const bool direct = (sw == dw && sh == dh);
   uint8_t* plane = dst;
   if (!direct) {
-    tmp.resize(static_cast<size_t>(sw) * sh * 3);
-    plane = tmp.data();
+    scratch.resize(static_cast<size_t>(sw) * sh * 3);
+    plane = scratch.data();
   }
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = plane + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  const bool clean = jerr.corrupt_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
+  if (!clean) return false;  // truncated/corrupt-but-recoverable stream
 
   if (!direct) resize_bilinear(plane, sw, sh, dst, dw, dh);
   return true;
+}
+
+// noexcept shield: nothing (std::bad_alloc from the vectors included) may
+// escape across the OpenMP region or the extern "C" boundary.
+bool decode_one(const char* path, int dh, int dw, uint8_t* dst, int32_t* size,
+                std::vector<uint8_t>& scratch,
+                std::vector<uint8_t>& buf) noexcept {
+  try {
+    return decode_one_impl(path, dh, dw, dst, size, scratch, buf);
+  } catch (...) {
+    return false;
+  }
 }
 
 }  // namespace
@@ -166,15 +195,25 @@ void decode_resize_batch(const char** paths, int64_t n, int64_t height,
   const size_t stride = static_cast<size_t>(height) * width * 3;
 #ifdef _OPENMP
   if (threads > 0) omp_set_num_threads(static_cast<int>(threads));
-#pragma omp parallel for schedule(dynamic, 1)
+#pragma omp parallel
 #endif
-  for (int64_t i = 0; i < n; ++i) {
-    sizes[2 * i] = 0;
-    sizes[2 * i + 1] = 0;
-    ok[i] = decode_one(paths[i], static_cast<int>(height),
-                       static_cast<int>(width), out + i * stride, &sizes[2 * i])
-                ? 1
-                : 0;
+  {
+    // per-thread scratch, reused across images (capacity persists)
+    std::vector<uint8_t> scratch;
+    std::vector<uint8_t> buf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+      sizes[2 * i] = 0;
+      sizes[2 * i + 1] = 0;
+      ok[i] = decode_one(paths[i], static_cast<int>(height),
+                         static_cast<int>(width), out + i * stride,
+                         &sizes[2 * i], scratch, buf)
+                  ? 1
+                  : 0;
+      if (!ok[i]) std::memset(out + i * stride, 0, stride);  // no garbage
+    }
   }
 }
 }

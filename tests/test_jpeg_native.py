@@ -82,3 +82,31 @@ def test_host_decode_resize_native_matches_pil_path(jpegs, monkeypatch):
     pil_imgs, pil_sizes = host_decode_resize(paths[:2], 256, 128)
     np.testing.assert_array_equal(native_imgs, pil_imgs)  # at-size: exact
     assert list(native_sizes) == list(pil_sizes)
+
+
+def test_truncated_jpeg_is_rejected(jpegs, tmp_path):
+    """libjpeg 'recovers' from premature EOF by gray-filling scanlines; the
+    decoder must flag that as failure so the PIL fallback handles it."""
+    paths, _ = jpegs
+    data = open(paths[0], "rb").read()
+    trunc = str(tmp_path / "trunc.jpg")
+    open(trunc, "wb").write(data[: len(data) // 2])
+    imgs, _, ok = jpeg_native.decode_resize_batch([paths[0], trunc], 256, 128)
+    assert ok[0] and not ok[1]
+    assert not imgs[1].any()  # failed entries are zero-filled
+
+
+def test_failed_entries_are_zero_filled(tmp_path):
+    bogus = str(tmp_path / "nope.jpg")
+    imgs, sizes, ok = jpeg_native.decode_resize_batch([bogus], 8, 8)
+    assert not ok[0]
+    assert not imgs[0].any()
+    assert (sizes[0] == 0).all()
+
+
+def test_garbage_bytes_are_rejected(tmp_path):
+    p = str(tmp_path / "garbage.jpg")
+    open(p, "wb").write(b"\xff\xd8" + os.urandom(4096))
+    imgs, _, ok = jpeg_native.decode_resize_batch([p], 16, 16)
+    assert not ok[0]
+    assert not imgs[0].any()

@@ -100,3 +100,22 @@ def test_image_dataset(tmp_path):
     ds = ImageDataset([(p, 3, 1)], height=64, width=32)
     img, pid, camid = ds.get_item(0)
     assert img.shape == (64, 32, 3) and pid == 3 and camid == 1
+
+
+def test_image_dataset_through_cliploader(tmp_path):
+    """ImageDataset items (no adjacency) collate through ClipLoader with a
+    placeholder all-ones adj."""
+    from agrl_tpu.data.loader import ClipLoader, ImageDataset
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"img{i}.png")
+        pil_image(80, 40).save(p)
+        paths.append(p)
+    ds = ImageDataset([(p, i % 2, 0) for i, p in enumerate(paths)], height=64, width=32)
+    loader = ClipLoader(ds, batch_size=2, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, pids, camids, adjs = batches[0]
+    assert imgs.shape == (2, 64, 32, 3)
+    assert adjs.shape == (2, 1, 1) and (adjs == 1).all()
