@@ -148,7 +148,6 @@ def run(args):
     from agrl_tpu.data.samplers import init_sampler
     from agrl_tpu.engine import create_train_state, make_train_step
     from agrl_tpu.engine.evaluator import Evaluator
-    from agrl_tpu.metrics import accuracy
     from agrl_tpu.optim import init_optim, multistep_lr, per_step, warmup_multistep_lr
     from agrl_tpu.parallel import make_mesh
     from agrl_tpu.utils.avgmeter import AverageMeter
@@ -314,12 +313,33 @@ def run(args):
         print(f"- rank1: {best_rank1}")
         print(f"- mAP: {best_mAP}")
 
-    # dp must divide the (drop_last) train batch; auto-size via gcd
+    # dp must divide the (drop_last) train batch; prefer the full machine
     import math
 
     n_dev = len(jax.devices())
-    auto_dp = max(1, math.gcd(args.train_batch, n_dev // args.mesh_mp))
-    mesh = make_mesh(dp=args.mesh_dp or auto_dp, mp=args.mesh_mp)
+    full_dp = max(1, n_dev // args.mesh_mp)
+    if args.mesh_dp:
+        auto_dp = args.mesh_dp
+    elif args.train_batch % full_dp == 0:
+        auto_dp = full_dp
+    else:
+        # a smaller mesh leaves chips idle; never do that silently, and
+        # never at all multi-host (a mesh that excludes another host's
+        # chips breaks every cross-process device_put)
+        auto_dp = max(1, math.gcd(args.train_batch, full_dp))
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"--train-batch {args.train_batch} is not divisible by "
+                f"dp={full_dp} ({n_dev} devices / mp={args.mesh_mp}); in a "
+                f"multi-host run every chip must join the mesh — pick a "
+                f"divisible batch or set --mesh-dp/--mesh-mp explicitly"
+            )
+        print(
+            f"Warning: --train-batch {args.train_batch} not divisible by "
+            f"dp={full_dp}; using dp={auto_dp} and IDLING "
+            f"{n_dev - auto_dp * args.mesh_mp} of {n_dev} devices"
+        )
+    mesh = make_mesh(dp=auto_dp, mp=args.mesh_mp)
     print(f"Mesh: dp={mesh.shape['dp']} mp={mesh.shape['mp']} (of {n_dev} devices)")
 
     evaluator = Evaluator(
@@ -373,12 +393,12 @@ def run(args):
             with trace(args.profile_dir):
                 state = train_one_epoch(
                     args, epoch, state, train_step, trainloader, mesh, epoch_key,
-                    writer, accuracy, AverageMeter, cur_time,
+                    writer, AverageMeter, cur_time,
                 )
         else:
             state = train_one_epoch(
                 args, epoch, state, train_step, trainloader, mesh, epoch_key, writer,
-                accuracy, AverageMeter, cur_time,
+                AverageMeter, cur_time,
             )
         train_time += round(time.time() - t0)
 
@@ -433,7 +453,7 @@ def _copy_model_source(arch: str, save_dir: str) -> None:
 
 
 def train_one_epoch(
-    args, epoch, state, train_step, trainloader, mesh, key, writer, accuracy,
+    args, epoch, state, train_step, trainloader, mesh, key, writer,
     AverageMeter, cur_time,
 ):
     xent_losses = AverageMeter()

@@ -35,6 +35,24 @@ def _to_numpy(t):
         return np.asarray(t)
 
 
+# torch BatchNorm leaf -> (flax leaf, collection); num_batches_tracked has
+# no Flax counterpart. Single source of truth for every converter below.
+_BN_LEAF = {
+    "weight": ("scale", "params"),
+    "bias": ("bias", "params"),
+    "running_mean": ("mean", "batch_stats"),
+    "running_var": ("var", "batch_stats"),
+}
+
+
+def _bn_map(prefix: tuple, leaf: str):
+    """torch BN leaf under `prefix` -> (flax path, collection, None)."""
+    hit = _BN_LEAF.get(leaf)
+    if hit is None:
+        return None
+    return prefix + (hit[0],), hit[1], None
+
+
 def _split_torch_name(name: str):
     """reference module path -> (flax path tuple, collection, transform).
 
@@ -43,16 +61,7 @@ def _split_torch_name(name: str):
     name = re.sub(r"^module\.", "", name)
     parts = name.split(".")
 
-    def bn(prefix, leaf):
-        if leaf == "weight":
-            return prefix + ("scale",), "params", None
-        if leaf == "bias":
-            return prefix + ("bias",), "params", None
-        if leaf == "running_mean":
-            return prefix + ("mean",), "batch_stats", None
-        if leaf == "running_var":
-            return prefix + ("var",), "batch_stats", None
-        return None  # num_batches_tracked
+    bn = _bn_map
 
     # stem
     if parts[0] == "conv1" and parts[1] == "weight":
@@ -207,17 +216,15 @@ def convert_graphnet_state_dict(state_dict: dict, arch: str):
     params, batch_stats, skipped = {}, {}, []
 
     def bn(prefix, leaf):
-        return {
-            "weight": (prefix + ("scale",), "params"),
-            "bias": (prefix + ("bias",), "params"),
-            "running_mean": (prefix + ("mean",), "batch_stats"),
-            "running_var": (prefix + ("var",), "batch_stats"),
-        }.get(leaf)
+        hit = _BN_LEAF.get(leaf)
+        return (prefix + (hit[0],), hit[1]) if hit else None
 
+    # strip any DataParallel 'module.' prefix BEFORE detecting the fused
+    # (last) classifier index, like the per-entry loop below does
     n_cls = max(
         (
             int(n.split(".")[1])
-            for n in state_dict
+            for n in (re.sub(r"^module\.", "", s) for s in state_dict)
             if n.startswith(("classifier.", "classifiers."))
         ),
         default=-1,
@@ -315,27 +322,12 @@ def _map_res_block(prefix: tuple, rest: list):
     if rest[1] in ("conv1", "conv2", "conv3") and rest[2] == "weight":
         return prefix + block + (rest[1], "kernel"), "params", "conv"
     if rest[1] in ("bn1", "bn2", "bn3"):
-        leaf = {
-            "weight": ("scale", "params"),
-            "bias": ("bias", "params"),
-            "running_mean": ("mean", "batch_stats"),
-            "running_var": ("var", "batch_stats"),
-        }.get(rest[2])
-        if leaf:
-            return prefix + block + (rest[1], leaf[0]), leaf[1], None
-        return None
+        return _bn_map(prefix + block + (rest[1],), rest[2])
     if rest[1] == "downsample":
         if rest[2] == "0" and rest[3] == "weight":
             return prefix + block + ("downsample_conv", "kernel"), "params", "conv"
         if rest[2] == "1":
-            leaf = {
-                "weight": ("scale", "params"),
-                "bias": ("bias", "params"),
-                "running_mean": ("mean", "batch_stats"),
-                "running_var": ("var", "batch_stats"),
-            }.get(rest[3])
-            if leaf:
-                return prefix + block + ("downsample_bn", leaf[0]), leaf[1], None
+            return _bn_map(prefix + block + ("downsample_bn",), rest[3])
     return None
 
 
@@ -353,13 +345,7 @@ def convert_temporal_state_dict(state_dict: dict):
     Returns ({'params', 'batch_stats'}, skipped_names)."""
     params, batch_stats, skipped = {}, {}, []
 
-    def bn_leaf(leaf):
-        return {
-            "weight": ("scale", "params"),
-            "bias": ("bias", "params"),
-            "running_mean": ("mean", "batch_stats"),
-            "running_var": ("var", "batch_stats"),
-        }.get(leaf)
+    bn_leaf = _BN_LEAF.get
 
     def emit(path, collection, arr):
         (params if collection == "params" else batch_stats)[path] = arr
@@ -446,13 +432,7 @@ def convert_resnet50m_state_dict(state_dict: dict):
     Returns ({'params', 'batch_stats'}, skipped_names)."""
     params, batch_stats, skipped = {}, {}, []
 
-    def bn_leaf(leaf):
-        return {
-            "weight": ("scale", "params"),
-            "bias": ("bias", "params"),
-            "running_mean": ("mean", "batch_stats"),
-            "running_var": ("var", "batch_stats"),
-        }.get(leaf)
+    bn_leaf = _BN_LEAF.get
 
     def emit(path, collection, arr):
         (params if collection == "params" else batch_stats)[path] = arr
@@ -545,13 +525,7 @@ def convert_resnet3d_state_dict(state_dict: dict):
     Returns ({'params', 'batch_stats'}, skipped_names)."""
     params, batch_stats, skipped = {}, {}, []
 
-    def bn_leaf(leaf):
-        return {
-            "weight": ("scale", "params"),
-            "bias": ("bias", "params"),
-            "running_mean": ("mean", "batch_stats"),
-            "running_var": ("var", "batch_stats"),
-        }.get(leaf)
+    bn_leaf = _BN_LEAF.get
 
     def emit(path, collection, arr):
         (params if collection == "params" else batch_stats)[path] = arr
@@ -621,8 +595,38 @@ def convert_imagenet_resnet(state_dict: dict, target_params: dict):
         out to every `layer4*` branch present in the target;
       * classifier head (`fc.*`) is dropped (shape-filtered out in the
         reference; the re-id heads are new).
+
+    The emitted paths adapt to the target tree's layout: a `backbone`
+    wrapper (legacy image/temporal families, resnet.py:20-62 /
+    resnet_temporal.py:14-133), layer4 inside the trunk (graphnet's
+    MultiScaleTrunk, graphnet.py:40-55), and resnet50m's unwrapped
+    layers5a/b/c blocks (resnet.py:64-115) all receive the weights.
     """
-    branches = sorted(k for k in target_params if re.match(r"^layer4(_\d+)?$", k))
+    # locate the backbone inside the target tree
+    root_prefix = ()
+    root = target_params
+    if isinstance(root.get("backbone"), dict):
+        root_prefix = ("backbone",)
+        root = root["backbone"]
+    trunk = root.get("trunk", {})
+    trunk_has_layer4 = isinstance(trunk, dict) and "layer4" in trunk
+    has_layers5 = isinstance(root.get("layers5a"), dict)
+    if trunk_has_layer4 or has_layers5:
+        branches = ["layer4"]  # relocated by _adapt below
+    else:
+        branches = sorted(k for k in root if re.match(r"^layer4(_\d+)?$", k))
+
+    def _adapt(path):
+        if path[0] == "layer4":
+            if trunk_has_layer4:
+                path = ("trunk",) + path
+            elif has_layers5:
+                block_idx = int(path[1][len("block"):])
+                if block_idx >= 3:
+                    return None  # layers5 has exactly three blocks
+                path = (f"layers5{'abc'[block_idx]}",) + path[2:]
+        return root_prefix + path
+
     params, batch_stats = {}, {}
 
     def emit(name, value):
@@ -630,6 +634,9 @@ def convert_imagenet_resnet(state_dict: dict, target_params: dict):
         if mapped is None:
             return
         path, collection, kind = mapped
+        path = _adapt(path)
+        if path is None:
+            return
         arr = _transform(_to_numpy(value), kind)
         (params if collection == "params" else batch_stats)[path] = arr
 

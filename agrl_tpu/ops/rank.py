@@ -130,6 +130,7 @@ def mars_cmc_map_from_topk(
     return cmc.mean(axis=0), ap.mean()
 
 
+@partial(jax.jit, static_argnames=("max_rank",))
 def market1501_cmc_map(
     distmat, q_pids, g_pids, q_camids, g_camids, max_rank: int = 50
 ):

@@ -24,22 +24,27 @@ namespace {
 inline void argsort_row(const float* row, int64_t g, std::vector<int32_t>& idx) {
   idx.resize(g);
   std::iota(idx.begin(), idx.end(), 0);
-  std::stable_sort(idx.begin(), idx.end(),
-                   [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+  std::sort(idx.begin(), idx.end(), [row](int32_t a, int32_t b) {
+    return row[a] < row[b] || (row[a] == row[b] && a < b);
+  });
 }
 
-// partial top-k ranking (enough for truncated protocols)
+// partial top-k ranking (enough for truncated protocols). Ties break by
+// lower gallery index in BOTH branches — the same deterministic order as
+// lax.top_k on device — so tied distances rank identically regardless of
+// gallery size or backend.
 inline void argtopk_row(const float* row, int64_t g, int64_t k,
                         std::vector<int32_t>& idx) {
   idx.resize(g);
   std::iota(idx.begin(), idx.end(), 0);
+  const auto lt = [row](int32_t a, int32_t b) {
+    return row[a] < row[b] || (row[a] == row[b] && a < b);
+  };
   if (k < g) {
-    std::partial_sort(idx.begin(), idx.begin() + k, idx.end(),
-                      [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+    std::partial_sort(idx.begin(), idx.begin() + k, idx.end(), lt);
     idx.resize(k);
   } else {
-    std::stable_sort(idx.begin(), idx.end(),
-                     [row](int32_t a, int32_t b) { return row[a] < row[b]; });
+    std::sort(idx.begin(), idx.end(), lt);
   }
 }
 
@@ -79,15 +84,18 @@ void evaluate_mars_c(const float* distmat, const int64_t* q_pids,
       bool found_first_good = false;
       for (int64_t n = 0; n < rank_len; ++n) {
         const int64_t g = order[n];
-        const bool good = (g_pids[g] == qp && g_camids[g] != qc);
+        // junk BEFORE good: a row can satisfy both (e.g. a pid == -1
+        // query against a -1 gallery entry on another camera) and the
+        // oracle's `good &= keep` (metrics/rank.py) masks it out
         const bool junk = (g_pids[g] == -1) || (g_pids[g] == qp && g_camids[g] == qc);
-        if (good && !found_first_good) {
-          for (int64_t r = n - njunk; r < max_rank; ++r) cmc[r] = 1.0f;
-          found_first_good = true;
-        }
         if (junk) {
           ++njunk;
           continue;
+        }
+        const bool good = (g_pids[g] == qp && g_camids[g] != qc);
+        if (good && !found_first_good) {
+          for (int64_t r = n - njunk; r < max_rank; ++r) cmc[r] = 1.0f;
+          found_first_good = true;
         }
         if (good) ++intersect;
         if (ngood > 0) {

@@ -373,3 +373,20 @@ def test_resnet50m_parity_vs_reference():
     )
     assert got.shape == want.shape == (2, 3072)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_graphnet_converter_handles_dataparallel_prefix():
+    """Reference checkpoints are saved from nn.DataParallel models whose
+    keys carry a 'module.' prefix; the fused-classifier index detection
+    must see through it (it drives the classifier_fused mapping)."""
+    from agrl_tpu.models.weight_convert import convert_graphnet_state_dict
+
+    sd = {
+        "module.classifiers.0.weight": np.zeros((5, 512), np.float32),
+        "module.classifiers.0.bias": np.zeros((5,), np.float32),
+        "module.classifiers.1.weight": np.zeros((5, 512), np.float32),
+        "module.classifiers.1.bias": np.zeros((5,), np.float32),
+    }
+    converted, skipped = convert_graphnet_state_dict(sd, "msppgn")
+    assert not skipped
+    assert set(converted["params"]) == {"classifier_0", "classifier_fused"}

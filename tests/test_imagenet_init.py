@@ -147,3 +147,80 @@ def test_imagenet_init_npz_path(sd, tmp_path):
         new_vars["params"]["trunk"]["stem"]["conv1"]["kernel"],
         _transform(sd["conv1.weight"], "conv"),
     )
+
+
+def _variables_of(model, x):
+    v = jax.jit(lambda x: model.init({"params": jax.random.PRNGKey(0)}, x, train=True))(x)
+    return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+
+def _family_cases():
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.models.resnet_image import ResNet50M, ResNetImage
+    from agrl_tpu.models.resnet_temporal import ResNet50TPLegacy
+
+    x_img = np.zeros((1, 64, 32, 3), np.float32)
+    x_clip = np.zeros((1, 2, 64, 32, 3), np.float32)
+    yield (
+        "res50tp_legacy",
+        lambda: _variables_of(ResNet50TPLegacy(num_classes=5), x_clip),
+        ("backbone", "layer4", "block0", "conv1", "kernel"),
+        ("backbone", "trunk", "stem", "conv1", "kernel"),
+    )
+    yield (
+        "resnet50_image",
+        lambda: _variables_of(
+            ResNetImage(num_classes=5, loss=frozenset({"xent"})), x_img
+        ),
+        ("backbone", "layer4", "block0", "conv1", "kernel"),
+        ("backbone", "trunk", "stem", "conv1", "kernel"),
+    )
+
+    def msppn_vars():
+        model = init_model(
+            "msppn", num_classes=5, loss={"xent", "htri"},
+            num_split=4, pyramid_part=True, num_gb=2,
+        )
+        v = init_params(
+            model, jax.random.PRNGKey(0), seq_len=2, height=64, width=32, batch_size=1
+        )
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    yield (
+        "msppn",
+        msppn_vars,
+        ("trunk", "layer4", "block0", "conv1", "kernel"),
+        ("trunk", "stem", "conv1", "kernel"),
+    )
+    yield (
+        "resnet50m",
+        lambda: _variables_of(ResNet50M(num_classes=5), x_img),
+        ("layers5a", "conv1", "kernel"),
+        ("trunk", "stem", "conv1", "kernel"),
+    )
+
+
+@pytest.mark.parametrize(
+    "arch,make_vars,l4_path,stem_path",
+    list(_family_cases()),
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_other_families_imagenet_init(arch, make_vars, l4_path, stem_path, sd):
+    """--pretrained-weights must reach the temporal/image/graphnet/resnet50m
+    trees too, not just the vmgn-family layout."""
+    variables = make_vars()
+    new_vars, matched, skipped = init_pretrained_weights(variables, sd)
+    assert not skipped, skipped[:5]
+    flat = traverse_util.flatten_dict(new_vars["params"])
+    np.testing.assert_array_equal(
+        flat[l4_path], _transform(sd["layer4.0.conv1.weight"], "conv")
+    )
+    np.testing.assert_array_equal(
+        flat[stem_path], _transform(sd["conv1.weight"], "conv")
+    )
+    # the whole backbone loaded, not a token subset
+    converted = convert_imagenet_resnet(sd, variables["params"])
+    assert len(matched) == n_leaves(converted["params"]) + n_leaves(
+        converted["batch_stats"]
+    )
+    assert len(matched) > 100  # resnet50 has ~265 backbone leaves

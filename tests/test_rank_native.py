@@ -68,3 +68,20 @@ def test_mars_scale_speed():
     rank_native.evaluate_mars_native(dist, qp, gp, qc, gc, 50)
     dt = time.perf_counter() - t0
     assert dt < 2.0, f"native mars ranking took {dt:.2f}s"
+
+
+def test_mars_native_distractor_query_matches_oracle():
+    """A pid == -1 QUERY against -1 gallery entries: such rows are both
+    'good' (pid match, cam differs) and 'junk' (pid == -1); the oracle's
+    `good &= keep` masks them, and the native path must agree instead of
+    scoring CMC off a junk row."""
+    rng = np.random.RandomState(11)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_g=120)
+    qp = qp.copy()
+    gp = gp.copy()
+    qp[:4] = -1
+    gp[rng.rand(len(gp)) < 0.2] = -1
+    cmc_n, map_n = rank_native.evaluate_mars_native(dist, qp, gp, qc, gc, 50)
+    cmc_o, map_o = evaluate_mars(dist, qp, gp, qc, gc, 50)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-6)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
