@@ -133,7 +133,6 @@ class ResLayer(nn.Module):
     planes: int
     blocks: int
     stride: int = 1
-    in_planes: int = 0  # for downsample decision
     dtype: Any = None  # None: follow input dtype (e.g. bf16-cast params)
 
     @nn.compact

@@ -21,6 +21,7 @@ Behavioral parity with reference torchreid/models/ganet.py:98-477:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +32,13 @@ from agrl_tpu.models.gsta import drop_one_frame_per_sample
 from agrl_tpu.models.layers import (
     BNNeck,
     GraphConvLayer,
-    classifier_init,
+    graph_linear_init,
     temporal_attention,
 )
+
+# reference _init_params (ganet.py:340-353): every Conv2d gets kaiming
+# fan_out + zero bias — PAM's 1x1 convs included
+_pam_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 from agrl_tpu.utils.reidtools import calc_splits
 
 
@@ -47,9 +52,12 @@ class PAM(nn.Module):
     def __call__(self, x: jnp.ndarray):
         """x: (B, H, W, C) -> (out, attention_mask)."""
         B, H, W, C = x.shape
-        q = nn.Conv(self.in_dim // 8, (1, 1), name="query_conv")(x).reshape(B, H * W, -1)
-        k = nn.Conv(self.in_dim // 8, (1, 1), name="key_conv")(x).reshape(B, H * W, -1)
-        v = nn.Conv(self.in_dim, (1, 1), name="value_conv")(x).reshape(B, H * W, C)
+        q = nn.Conv(self.in_dim // 8, (1, 1), kernel_init=_pam_conv_init,
+                    name="query_conv")(x).reshape(B, H * W, -1)
+        k = nn.Conv(self.in_dim // 8, (1, 1), kernel_init=_pam_conv_init,
+                    name="key_conv")(x).reshape(B, H * W, -1)
+        v = nn.Conv(self.in_dim, (1, 1), kernel_init=_pam_conv_init,
+                    name="value_conv")(x).reshape(B, H * W, C)
         energy = jnp.einsum("bik,bjk->bij", q, k, preferred_element_type=jnp.float32)
         attention = jax.nn.softmax(energy, axis=-1)
         # torch: out = bmm(value^T, attention^T) => out[i] = sum_j A[i,j] v[j]
@@ -85,6 +93,9 @@ class GANet(nn.Module):
     learn_graph: bool = True
     consistent_loss: bool = False
     feature_dim: int = 2048
+    # mixed precision: compute dtype for the conv backbone (like VMGN);
+    # PAM / graph layers / heads stay f32
+    dtype: Any = None
 
     @property
     def total_split_list(self):
@@ -98,10 +109,15 @@ class GANet(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
-        x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
-        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1, name="layer4")(
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = ResNetTrunk(Bottleneck, self.layers, dtype=self.dtype, name="trunk")(
             x, train=train
         )
+        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1,
+                        dtype=self.dtype, name="layer4")(x, train=train)
+        if self.dtype is not None:
+            fmap = fmap.astype(jnp.float32)
         _, h, w, c = fmap.shape
 
         pam = PAM(self.feature_dim, name="pam_layer")
@@ -134,8 +150,11 @@ class GANet(nn.Module):
         )
 
         bottleneck = BNNeck(name="bottleneck")
+        # N(0, 0.01): ganet's classifier comes from _init_params' blanket
+        # Linear rule (reference ganet.py:340-353), not weights_init_classifier
         classifier = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+            self.num_classes, use_bias=False, kernel_init=graph_linear_init,
+            name="classifier",
         )
 
         f_g = temporal_attention(f).mean(axis=1)
@@ -170,6 +189,7 @@ def ganet(
     use_pose=True,
     learn_graph=True,
     consistent_loss=False,
+    dtype=None,
     **kwargs,
 ):
     del last_stride, num_scale, knn
@@ -182,4 +202,5 @@ def ganet(
         use_pose=use_pose,
         learn_graph=learn_graph,
         consistent_loss=consistent_loss,
+        dtype=dtype,
     )

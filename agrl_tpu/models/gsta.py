@@ -15,6 +15,7 @@ Behavioral parity with reference torchreid/models/gsta.py:173-359:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,7 @@ from agrl_tpu.models.backbone import (
 from agrl_tpu.models.layers import (
     BNNeck,
     GraphConvLayer,
-    classifier_init,
+    graph_linear_init,
     temporal_attention,
 )
 from agrl_tpu.utils.reidtools import calc_splits
@@ -57,6 +58,9 @@ class GSTA(nn.Module):
     consistent_loss: bool = False
     dist_method: str = "l2"
     feature_dim: int = 2048
+    # mixed precision: compute dtype for the conv backbone (like VMGN);
+    # graph layers / heads / losses stay f32
+    dtype: Any = None
 
     @property
     def total_split_list(self):
@@ -70,10 +74,15 @@ class GSTA(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
-        x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
-        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1, name="layer4")(
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = ResNetTrunk(Bottleneck, self.layers, dtype=self.dtype, name="trunk")(
             x, train=train
         )
+        fmap = ResLayer(Bottleneck, 512, self.layers[3], stride=1,
+                        dtype=self.dtype, name="layer4")(x, train=train)
+        if self.dtype is not None:
+            fmap = fmap.astype(jnp.float32)
         _, h, w, c = fmap.shape
 
         fw = fmap.mean(axis=2)  # pool width
@@ -95,8 +104,12 @@ class GSTA(nn.Module):
         f = f.reshape(B, S, self.total_split, c)
 
         bottleneck = BNNeck(name="bottleneck")
+        # N(0, 0.01): gsta never applies weights_init_classifier — its
+        # classifier comes from _init_params' blanket Linear rule
+        # (reference gsta.py:235-248), unlike vmgn's 0.001 heads
         classifier = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+            self.num_classes, use_bias=False, kernel_init=graph_linear_init,
+            name="classifier",
         )
 
         f_g = temporal_attention(f).mean(axis=1)
@@ -131,6 +144,7 @@ def gsta(
     use_pose=True,
     learn_graph=True,
     consistent_loss=False,
+    dtype=None,
     **kwargs,
 ):
     del last_stride, num_scale  # layer4 stride hardcoded 1 (gsta.py:191)
@@ -144,4 +158,5 @@ def gsta(
         use_pose=use_pose,
         learn_graph=learn_graph,
         consistent_loss=consistent_loss,
+        dtype=dtype,
     )

@@ -240,6 +240,14 @@ def init_optim(
     lr_fn = _as_schedule(learning_rate)
     wd_fn = _as_schedule(weight_decay)
     if base_lr is None:
+        if optim == "adabound" and callable(learning_rate):
+            # lr_fn(0) under a warmup schedule is warmup_factor * lr, which
+            # would inflate adabound's bound ratio by 1/warmup_factor; torch
+            # records base_lrs at optimizer construction, BEFORE schedulers
+            raise ValueError(
+                "adabound with an lr schedule needs base_lr= "
+                "(the pre-schedule learning rate)"
+            )
         base_lr = float(lr_fn(0))
 
     l2 = _l2_weight_decay_schedule(wd_fn)
@@ -253,10 +261,15 @@ def init_optim(
     elif optim == "nesterov":
         core = optax.sgd(lr_fn, momentum=momentum, nesterov=True)
     elif optim == "rmsprop":
-        # torch defaults: alpha (decay) 0.99, eps 1e-8
-        core = optax.rmsprop(lr_fn, decay=0.99, eps=1e-8, momentum=momentum)
+        # torch defaults: alpha (decay) 0.99, eps 1e-8. eps goes OUTSIDE
+        # the sqrt (sqrt(v) + eps) like torch — optax's default
+        # sqrt(v + eps) takes ~1000x smaller steps for tiny gradients
+        core = optax.rmsprop(
+            lr_fn, decay=0.99, eps=1e-8, eps_in_sqrt=False, momentum=momentum
+        )
     elif optim == "adabound":
-        core = adabound(lr_fn, base_lr=base_lr)
+        # the reference wires final_lr = 100 * lr (optimizers.py:19)
+        core = adabound(lr_fn, base_lr=base_lr, final_lr=100.0 * base_lr)
     elif optim == "radam":
         # radam applies its own decoupled decay; no L2 chain
         return radam(lr_fn, weight_decay=wd_fn)

@@ -159,3 +159,15 @@ class TestComponents:
         assert isinstance(m, VMGN)
         with pytest.raises(KeyError):
             init_model("nope", num_classes=10)
+
+
+def test_bf16_dtype_reaches_whole_vmgn_family():
+    """--bf16-train passes dtype= to init_model for every arch; gsta/ganet
+    must honor it, not swallow it in **kwargs."""
+    from agrl_tpu.models import init_model
+
+    for arch in ("vmgn", "gsta", "ganet"):
+        m = init_model(
+            arch, num_classes=4, loss={"xent", "htri"}, dtype=jnp.bfloat16
+        )
+        assert m.dtype == jnp.bfloat16, arch

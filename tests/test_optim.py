@@ -301,3 +301,41 @@ def test_warmup_multistep_matches_reference_scheduler(method):
             float(ours(jnp.asarray(epoch))), want, rtol=1e-6
         )
         sched.step()
+
+
+def test_rmsprop_small_gradients_match_torch():
+    """torch RMSprop adds eps OUTSIDE the sqrt (sqrt(v) + eps); with tiny
+    gradients the eps placement changes the step by ~1000x."""
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(5).astype(np.float32)
+    grads = [(rng.randn(5) * 1e-6).astype(np.float32) for _ in range(8)]
+    opt = init_optim("rmsprop", 1e-3, weight_decay=0.0, momentum=0.9)
+    got = run_optax(opt, x0, grads)
+    want = run_torch(
+        lambda ps: torch.optim.RMSprop(ps, lr=1e-3, momentum=0.9), x0, grads
+    )
+    np.testing.assert_allclose(got[-1], want[-1], rtol=1e-4, atol=1e-7)
+
+
+def test_adabound_final_lr_wiring_matches_reference_init_optim():
+    """The reference's init_optim wires final_lr = 100 * lr
+    (optimizers.py:19); at lr != 1e-3 the default final_lr=0.1 diverges."""
+    x0, grads = make_problem(n_steps=12, seed=4)
+    lr = 3e-4  # the driver default, where final_lr=0.1 would be 3.33x off
+    opt = init_optim("adabound", lr, weight_decay=5e-4)
+    got = run_optax(opt, x0, grads)
+    x = x0.astype(np.float64)
+    m = np.zeros_like(x)
+    v = np.zeros_like(x)
+    for t, g in enumerate(grads, start=1):
+        x, m, v = reference_adabound_step(
+            x, m, v, g.astype(np.float64), t, lr, lr, wd=5e-4, final_lr=100 * lr
+        )
+    np.testing.assert_allclose(got[-1], x, rtol=1e-5, atol=1e-7)
+
+
+def test_adabound_schedule_requires_base_lr():
+    sched = warmup_multistep_lr(3e-4, [50], warmup_factor=0.01, warmup_iters=10)
+    with pytest.raises(ValueError, match="base_lr"):
+        init_optim("adabound", per_step(sched, steps_per_epoch=10))
+    init_optim("adabound", per_step(sched, steps_per_epoch=10), base_lr=3e-4)
