@@ -288,8 +288,14 @@ def run(args):
               f"'{args.pretrained_weights}' ({len(matched)} matched, {len(skipped)} skipped)")
 
     if args.load_weights and check_isfile(args.load_weights):
-        new_params, matched, skipped = load_weights_partial(state.params, args.load_weights)
-        state = state.replace(params=jax.tree.map(jnp.asarray, new_params))
+        new_vars, matched, skipped = load_weights_partial(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.load_weights,
+        )
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, new_vars["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, new_vars["batch_stats"]),
+        )
         print(f"Loaded pretrained weights from '{args.load_weights}' "
               f"({len(matched)} matched, {len(skipped)} skipped)")
 

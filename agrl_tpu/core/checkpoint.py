@@ -63,24 +63,39 @@ def load_checkpoint(template_tree, fpath: str):
     return state, meta
 
 
-def load_weights_partial(params, fpath: str, source_key: str = "params"):
+def load_weights_partial(variables, fpath: str):
     """Shape-filtered partial weight load (the --load-weights semantics).
 
-    Loads the checkpoint WITHOUT a structure template (raw msgpack dict),
-    then copies every leaf whose flattened path exists in `params` with an
-    identical shape. Returns (new_params, matched, skipped)."""
+    `variables` is {'params': tree, 'batch_stats': tree, ...} (a bare
+    params tree also works: it is treated as {'params': tree}). Loads the
+    checkpoint WITHOUT a structure template (raw msgpack dict), then for
+    every collection present in both sides copies each leaf whose
+    flattened path exists in the target with an identical shape. The
+    reference's torch state_dict load (driver :279-287) restores BN
+    running stats alongside weights — batch_stats must transfer too or
+    --load-weights evaluation runs on init statistics.
+
+    Returns (new_variables, matched, skipped); new_variables mirrors the
+    input's shape (bare tree in, bare tree out)."""
+    bare = "params" not in variables
+    if bare:
+        variables = {"params": variables}
     with open(fpath, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    if source_key in raw:
-        raw = raw[source_key]
+    if not isinstance(raw, dict) or "params" not in raw:
+        raw = {"params": raw}  # bare params checkpoint
 
-    flat_target = traverse_util.flatten_dict(params)
-    flat_source = traverse_util.flatten_dict(raw)
-    matched, skipped = [], []
-    for path, value in flat_source.items():
-        if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
-            flat_target[path] = np.asarray(value)
-            matched.append("/".join(map(str, path)))
-        else:
-            skipped.append("/".join(map(str, path)))
-    return traverse_util.unflatten_dict(flat_target), matched, skipped
+    new_vars, matched, skipped = dict(variables), [], []
+    for collection, target in variables.items():
+        if collection not in raw:
+            continue
+        flat_target = traverse_util.flatten_dict(target)
+        flat_source = traverse_util.flatten_dict(raw[collection])
+        for path, value in flat_source.items():
+            if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
+                flat_target[path] = np.asarray(value)
+                matched.append(f"{collection}/" + "/".join(map(str, path)))
+            else:
+                skipped.append(f"{collection}/" + "/".join(map(str, path)))
+        new_vars[collection] = traverse_util.unflatten_dict(flat_target)
+    return (new_vars["params"] if bare else new_vars), matched, skipped

@@ -42,10 +42,17 @@ class VidReidDataset:
     def _load_poses(self, pose_file: str, use_pose: bool = True) -> None:
         self.process_poses = load_pose_json(pose_file) if use_pose else {}
 
-    def print_stats(self, title: str, num_imgs_per_tracklet) -> None:
+    def print_stats(
+        self, title: str, num_imgs_per_tracklet,
+        total_pids: int | None = None, total_tracklets: int | None = None,
+    ) -> None:
         n = np.asarray(num_imgs_per_tracklet)
-        total_pids = self.num_train_pids + self.num_query_pids
-        total_tracklets = len(self.train) + len(self.query) + len(self.gallery)
+        # default totals convention of ilidsvid/prid/duke (reference
+        # ilidsvid.py:94-95); MARS overrides with train+gallery (mars.py:96-97)
+        if total_pids is None:
+            total_pids = self.num_train_pids + self.num_query_pids
+        if total_tracklets is None:
+            total_tracklets = len(self.train) + len(self.query) + len(self.gallery)
         print(f"=> {title} loaded")
         print("Dataset statistics:")
         print("  ------------------------------")

@@ -58,7 +58,12 @@ class Mars(VidReidDataset):
         self.num_gallery_pids = len(set(track_test[:, 2].tolist()))
 
         if verbose:
-            self.print_stats("MARS", n_train_imgs + n_gal_imgs)
+            # MARS totals = train + gallery (reference mars.py:96-97)
+            self.print_stats(
+                "MARS", n_train_imgs + n_gal_imgs,
+                total_pids=self.num_train_pids + self.num_gallery_pids,
+                total_tracklets=len(self.train) + len(self.gallery),
+            )
 
     @staticmethod
     def _read_names(fpath):

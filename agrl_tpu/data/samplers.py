@@ -104,6 +104,12 @@ def init_sampler(name: str, data_source, batch_size: int, num_instances: int, se
     --train-sampler flag, train_vidreid_xent_htri.py:227)."""
     if name not in SAMPLER_REGISTRY:
         raise KeyError(f"Unknown sampler: {name}. Choices: {list(SAMPLER_REGISTRY)}")
+    if batch_size < num_instances:
+        # batch_size // num_instances == 0 would make RandomIdentitySampler
+        # loop forever selecting zero pids per batch
+        raise ValueError(
+            f"batch_size ({batch_size}) must be >= num_instances ({num_instances})"
+        )
     cls = SAMPLER_REGISTRY[name]
     if name == "RandomIdentitySamplerV1":
         return cls(data_source, num_instances=num_instances, seed=seed)

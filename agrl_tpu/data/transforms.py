@@ -104,17 +104,27 @@ def robust_read(path: str):
             print(f"IOError reading '{path}'; retrying.")
 
 
-def _erase_mask(key, H: int, W: int, sl=0.02, sh=0.4, r1=0.3):
+def _erase_mask(key, H: int, W: int, sl=0.02, sh=0.4, r1=0.3, attempts: int = 10):
     """Random-erasing rectangle mask (1 inside the rect), Zhong et al.
-    parameterization as used by transforms.py:274-321."""
+    parameterization as used by transforms.py:274-321.
+
+    The reference REJECTION-RESAMPLES (area, aspect) until the rectangle
+    fits (w < W and h < H) — clipping instead would produce full-width
+    bands the reference never draws. Vectorized here: `attempts` iid
+    candidate pairs, first fitting one wins (the all-miss probability at
+    256x128 is ~1e-13); if none fit, no erase — like the reference
+    exhausting its tries."""
     k_area, k_ratio, k_x, k_y = jax.random.split(key, 4)
     area = H * W
-    target_area = jax.random.uniform(k_area, (), minval=sl, maxval=sh) * area
-    aspect = jax.random.uniform(k_ratio, (), minval=r1, maxval=1.0 / r1)
-    h = jnp.sqrt(target_area * aspect).astype(jnp.int32)
-    w = jnp.sqrt(target_area / aspect).astype(jnp.int32)
-    h = jnp.clip(h, 1, H - 1)
-    w = jnp.clip(w, 1, W - 1)
+    target_area = jax.random.uniform(k_area, (attempts,), minval=sl, maxval=sh) * area
+    aspect = jax.random.uniform(k_ratio, (attempts,), minval=r1, maxval=1.0 / r1)
+    hs = jnp.sqrt(target_area * aspect).astype(jnp.int32)
+    ws = jnp.sqrt(target_area / aspect).astype(jnp.int32)
+    valid = (hs < H) & (ws < W) & (hs > 0) & (ws > 0)
+    first = jnp.argmax(valid)
+    any_valid = valid.any()
+    h = jnp.where(any_valid, hs[first], 0)
+    w = jnp.where(any_valid, ws[first], 0)
     x1 = jax.random.randint(k_x, (), 0, H - h + 1)
     y1 = jax.random.randint(k_y, (), 0, W - w + 1)
     rows = jnp.arange(H)[:, None]

@@ -171,3 +171,45 @@ class TestDeviceTransforms:
         a = np.asarray(preprocess_clips(u8, jax.random.PRNGKey(3), train=True))
         b = np.asarray(preprocess_clips(u8, jax.random.PRNGKey(3), train=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_erase_mask_rejection_resamples_oversize_rects():
+    """The reference retries (area, aspect) draws until the rect fits
+    (w < W and h < H); clipping would produce full-width bands it never
+    generates. Over many keys, no mask may span the full width/height."""
+    from agrl_tpu.data.transforms import _erase_mask
+
+    H, W = 256, 128
+    masks = jax.vmap(lambda k: _erase_mask(k, H, W))(
+        jax.random.split(jax.random.PRNGKey(0), 256)
+    )
+    masks = np.asarray(masks)
+    assert masks.any(axis=(1, 2)).all()  # every draw produced a rect
+    col_spans = masks.any(axis=1).sum(axis=1)  # erased width per draw
+    row_spans = masks.any(axis=2).sum(axis=1)
+    assert col_spans.max() < W, "full-width erase band: oversize rect not resampled"
+    assert row_spans.max() < H
+
+
+def test_load_weights_partial_restores_batch_stats(tmp_path):
+    """--load-weights must carry BN running statistics, not just params —
+    the reference's torch state_dict load includes running_mean/var."""
+    from agrl_tpu.core import load_weights_partial, save_checkpoint
+
+    params = {"dense": {"kernel": np.ones((3, 3), np.float32)}}
+    stats = {"bn": {"mean": np.full((3,), 7.0, np.float32),
+                    "var": np.full((3,), 2.0, np.float32)}}
+    f = str(tmp_path / "ck.msgpack")
+    save_checkpoint({"params": params, "batch_stats": stats, "opt_state": {}},
+                    f, epoch=0)
+
+    fresh = {
+        "params": {"dense": {"kernel": np.zeros((3, 3), np.float32)}},
+        "batch_stats": {"bn": {"mean": np.zeros(3, np.float32),
+                               "var": np.ones(3, np.float32)}},
+    }
+    new_vars, matched, skipped = load_weights_partial(fresh, f)
+    assert not skipped
+    np.testing.assert_array_equal(new_vars["batch_stats"]["bn"]["mean"], stats["bn"]["mean"])
+    np.testing.assert_array_equal(new_vars["params"]["dense"]["kernel"], params["dense"]["kernel"])
+    assert any(m.startswith("batch_stats/") for m in matched)

@@ -213,3 +213,11 @@ class TestSamplersVsReferenceClasses:
                 # P distinct pids, K instances each
                 assert len(set(batch)) == P
                 assert all(batch.count(p) == K for p in set(batch))
+
+
+def test_init_sampler_rejects_batch_smaller_than_instances():
+    from agrl_tpu.data.samplers import init_sampler
+
+    data = [((f"{i}.jpg",), i % 3, 0) for i in range(12)]
+    with pytest.raises(ValueError, match="num_instances"):
+        init_sampler("RandomIdentitySampler", data, batch_size=4, num_instances=8)
