@@ -126,7 +126,12 @@ def init_params(
     Initialization runs in train mode so every head (classifiers,
     consistent-loss path) materializes its parameters."""
     if num_vertices is None:
-        num_vertices = seq_len * getattr(model, "total_split", 1)
+        # graphnet models span 3 feature scales (num_vertex_scales)
+        num_vertices = (
+            seq_len
+            * getattr(model, "total_split", 1)
+            * getattr(model, "num_vertex_scales", 1)
+        )
     x = jnp.zeros((batch_size, seq_len, height, width, 3), jnp.float32)
     adj = jnp.ones((batch_size, num_vertices, num_vertices), jnp.float32)
     p_rng, s_rng = jax.random.split(rng)

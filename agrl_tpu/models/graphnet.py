@@ -31,10 +31,20 @@ from agrl_tpu.models.backbone import (
     adaptive_avg_pool_matrix,
     adaptive_max_pool_rows,
 )
-from agrl_tpu.models.layers import GraphBlock
+from agrl_tpu.models.layers import (
+    GraphBlock,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 from agrl_tpu.utils.reidtools import calc_splits
 
 xavier_init = nn.initializers.xavier_normal()
+
+# the reference applies weights_init_xavier to its classifier ModuleList,
+# which is a no-op (classname match fails, torchtools.py:67-80), so its
+# classifiers keep torch's DEFAULT Linear init
+_torch_linear_kernel_init = torch_linear_kernel_init
+_torch_linear_bias_init = torch_linear_bias_init
 
 
 class MultiScaleTrunk(nn.Module):
@@ -91,6 +101,14 @@ class MSPyraPartNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     num_gb: int = 0  # unused; signature compatibility
 
+    # reference count_num_param excludes `self.classifier` — for msppn
+    # that ModuleList holds EVERY per-vertex + fused head
+    count_exclude_heads = ("classifier_",)
+
+    @property
+    def num_vertex_scales(self):
+        return 3  # vertices span layer2/3/4 feature scales
+
     @property
     def total_parts(self):
         return calc_splits(self.num_split)
@@ -135,6 +153,14 @@ class MSPyraPartGraphNet(nn.Module):
     learn_graph: bool = True
     layers: Sequence[int] = (3, 4, 6, 3)
 
+    # reference count_num_param excludes only a head named `classifier`;
+    # msppgn's heads are `classifiers` -> nothing excluded
+    count_exclude_heads = ()
+
+    @property
+    def num_vertex_scales(self):
+        return 3  # vertices span layer2/3/4 feature scales
+
     @property
     def total_parts(self):
         return calc_splits(self.num_split)
@@ -176,16 +202,16 @@ def _heads(module, vf, B, num_v, dim, train):
         return fused
 
     allf = [vf[:, i] for i in range(num_v)] + [fused]
+    cls_kw = dict(
+        kernel_init=_torch_linear_kernel_init,
+        bias_init=_torch_linear_bias_init(dim),
+    )
     ys = []
     for i in range(num_v):
         ys.append(
-            nn.Dense(module.num_classes, kernel_init=xavier_init, name=f"classifier_{i}")(
-                vf[:, i]
-            )
+            nn.Dense(module.num_classes, name=f"classifier_{i}", **cls_kw)(vf[:, i])
         )
-    ys.append(
-        nn.Dense(module.num_classes, kernel_init=xavier_init, name="classifier_fused")(fused)
-    )
+    ys.append(nn.Dense(module.num_classes, name="classifier_fused", **cls_kw)(fused))
     if module.loss == frozenset({"xent"}):
         return ys
     if module.loss == frozenset({"xent", "htri"}):

@@ -19,12 +19,29 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from agrl_tpu.models.backbone import BatchNorm  # single source of BN constants
 
 # reference _init_params (vmgn.py:137-140): Linear ~ N(0, 0.01)
 graph_linear_init = nn.initializers.normal(stddev=0.01)
+
+# torch's DEFAULT nn.Linear init (kaiming_uniform a=sqrt(5) weight,
+# uniform(+-1/sqrt(fan_in)) bias) — for heads the reference never
+# re-initializes (legacy temporal family; graphnet's ModuleList no-op)
+torch_linear_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / float(np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 # reference weights_init_classifier (torchtools.py): Linear ~ N(0, 0.001)
 classifier_init = nn.initializers.normal(stddev=0.001)
 

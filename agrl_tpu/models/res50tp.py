@@ -23,7 +23,7 @@ from agrl_tpu.models.backbone import (
     ResNetTrunk,
     adaptive_avg_pool_matrix,
 )
-from agrl_tpu.models.layers import BNNeck, classifier_init, l1_normalize
+from agrl_tpu.models.layers import BNNeck, graph_linear_init, l1_normalize
 
 
 class ResNet50TP(nn.Module):
@@ -54,7 +54,7 @@ class ResNet50TP(nn.Module):
         if not train:
             return bn
         y = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+            self.num_classes, use_bias=False, kernel_init=graph_linear_init, name="classifier"
         )(bn)
         if self.loss == frozenset({"xent"}):
             return y
@@ -85,7 +85,7 @@ class ResNet50S1(nn.Module):
             return bn.reshape(B, S, -1).mean(axis=1)
         f_mean = f.reshape(B, S, -1).mean(axis=1)
         y = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init, name="classifier"
+            self.num_classes, use_bias=False, kernel_init=graph_linear_init, name="classifier"
         )(bn).reshape(B, S, -1).mean(axis=1)
         if self.loss == frozenset({"xent"}):
             return y

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from agrl_tpu.models.backbone import Bottleneck, ResNetBackbone
-from agrl_tpu.models.layers import classifier_init, l1_normalize
+from agrl_tpu.models.layers import (
+    l1_normalize,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 
 
 def _per_frame_features(x, layers, train, name="backbone"):
@@ -34,7 +38,14 @@ def _per_frame_features(x, layers, train, name="backbone"):
 def _finish(module, f, train):
     if not train:
         return f
-    y = nn.Dense(module.num_classes, kernel_init=classifier_init, name="classifier")(f)
+    # torch-default Linear init: the reference legacy family never
+    # re-initializes its classifier (resnet_temporal.py has no _init_params)
+    y = nn.Dense(
+        module.num_classes,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_linear_bias_init(f.shape[-1]),
+        name="classifier",
+    )(f)
     if module.loss == frozenset({"xent"}):
         return y
     if module.loss in (frozenset({"xent", "htri"}), frozenset({"cent"})):

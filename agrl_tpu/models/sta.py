@@ -26,9 +26,8 @@ from agrl_tpu.models.backbone import (
     ResNetTrunk,
     adaptive_avg_pool_matrix,
 )
-from agrl_tpu.models.layers import classifier_init, l1_normalize
+from agrl_tpu.models.layers import graph_linear_init, l1_normalize
 
-graph_init = nn.initializers.normal(stddev=0.01)
 
 
 class STA(nn.Module):
@@ -81,14 +80,14 @@ class STA(nn.Module):
         f_g = f_fuse.mean(axis=1)  # average over parts -> (B, 2c)
 
         f_t = nn.Dense(
-            self.reduced_dim, use_bias=False, kernel_init=graph_init, name="fc1"
+            self.reduced_dim, use_bias=False, kernel_init=graph_linear_init, name="fc1"
         )(f_g)
         f_t = BatchNorm(use_running_average=not train, name="fc1_bn")(f_t)
         f_t = nn.relu(f_t)
 
         if not train:
             return f_t
-        y = nn.Dense(self.num_classes, kernel_init=classifier_init, name="classifier")(f_t)
+        y = nn.Dense(self.num_classes, kernel_init=graph_linear_init, name="classifier")(f_t)
         if self.loss == frozenset({"xent"}):
             return y
         if self.loss == frozenset({"xent", "htri"}):

@@ -67,6 +67,10 @@ class VMGN(nn.Module):
     # the input dtype (so bf16-cast params keep the pure-bf16 eval path)
     dtype: Any = None
 
+    # reference count_num_param excludes only a head named `classifier`;
+    # vmgn's heads are global_/att_classifier -> nothing excluded
+    count_exclude_heads = ()
+
     @property
     def total_split_list(self):
         return calc_splits(self.num_split) if self.pyramid_part else [self.num_split]

@@ -48,6 +48,24 @@ def compute_distmat(qf, gf, metric: str = "euclidean") -> jnp.ndarray:
     raise ValueError(f"Unknown distance metric: {metric}")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _sharded_distmat_fn(mesh: Mesh, metric: str):
+    # cached per (mesh, metric): a fresh jit-wrapped lambda per call would
+    # miss jax's executable cache (keyed by function identity) and pay a
+    # full XLA compile at every evaluation
+    return jax.jit(
+        lambda q, g: compute_distmat(q, g, metric),
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P("dp", None)),
+        ),
+        out_shardings=NamedSharding(mesh, P(None, "dp")),
+    )
+
+
 def sharded_distmat(
     mesh: Mesh, qf, gf, metric: str = "euclidean"
 ) -> jnp.ndarray:
@@ -56,12 +74,4 @@ def sharded_distmat(
     Queries replicate; each chip owns a gallery stripe; the output (Q, G)
     is sharded on its gallery axis — XLA inserts no gather unless the
     caller requests a replicated result."""
-    fn = jax.jit(
-        lambda q, g: compute_distmat(q, g, metric),
-        in_shardings=(
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P("dp", None)),
-        ),
-        out_shardings=NamedSharding(mesh, P(None, "dp")),
-    )
-    return fn(qf, gf)
+    return _sharded_distmat_fn(mesh, metric)(qf, gf)

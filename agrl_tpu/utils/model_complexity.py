@@ -14,17 +14,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def count_num_param(params, exclude_classifier: bool = True) -> float:
-    """Parameters in millions. Like the reference (torchtools.py:62-77),
-    classifier heads are excluded by default."""
+def count_num_param(params, exclude_heads=("classifier",)) -> float:
+    """Parameters in millions. The reference (torchtools.py:62-67) excludes
+    ONLY a head attribute literally named `classifier`: vmgn (whose heads
+    are global_/att_classifier) and msppgn (`classifiers`) exclude
+    nothing, while msppn's `classifier` ModuleList — every per-vertex head
+    — is excluded wholesale.
+
+    `exclude_heads`: exact top-level names, or prefixes ending in '_'
+    ("classifier_" covers msppn's classifier_{i}/classifier_fused)."""
     total = 0
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        if exclude_classifier and "classifier" in name:
+        top = str(getattr(path[0], "key", path[0]))
+        if any(
+            top.startswith(p) if p.endswith("_") else top == p
+            for p in exclude_heads
+        ):
             continue
         total += np.size(leaf)
     return total / 1e6
+
+
+def head_exclusions(model) -> tuple:
+    """Per-model `count_num_param` exclusions mirroring the reference's
+    `hasattr(model, 'classifier')` rule (see count_num_param)."""
+    return getattr(model, "count_exclude_heads", ("classifier",))
 
 
 def compute_model_complexity(
@@ -43,12 +58,17 @@ def compute_model_complexity(
     reference driver runs at startup (train_vidreid_xent_htri.py:256-263).
     """
     if num_vertices is None:
-        num_vertices = seq_len * getattr(model, "total_split", 1)
+        # graphnet models span 3 feature scales (num_vertex_scales)
+        num_vertices = (
+            seq_len
+            * getattr(model, "total_split", 1)
+            * getattr(model, "num_vertex_scales", 1)
+        )
     x = jnp.zeros((1, seq_len, height, width, 3), jnp.float32)
     adj = jnp.ones((1, num_vertices, num_vertices), jnp.float32)
 
     fn = jax.jit(lambda v, x, a: model.apply(v, x, a, train=False))
-    num_params = count_num_param(variables["params"])
+    num_params = count_num_param(variables["params"], head_exclusions(model))
     gflops = float("nan")
     try:
         compiled = fn.lower(variables, x, adj).compile()

@@ -51,8 +51,14 @@ def visualize_ranked_results(
 
     for q_idx in range(num_q):
         qimg_path, qpid, qcamid = query[q_idx]
-        first = qimg_path[0] if isinstance(qimg_path, (tuple, list)) else qimg_path
-        qdir = osp.join(save_dir, osp.basename(first))
+        # reference: tracklets key by their PARENT (tracklet) directory +
+        # camid (reidtools.py:62-66) — frame basenames like 0001.png
+        # repeat across tracklets and would collide
+        if isinstance(qimg_path, (tuple, list)):
+            qimg_index = osp.basename(osp.dirname(qimg_path[0]))
+        else:
+            qimg_index = osp.basename(qimg_path)
+        qdir = osp.join(save_dir, f"id{qimg_index}_cam{qcamid}")
         mkdir_if_missing(qdir)
         _cp_img_to(qimg_path, qdir, rank=0, prefix="query")
 

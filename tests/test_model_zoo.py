@@ -129,3 +129,26 @@ def test_drop_one_frame_per_sample():
                 matched = True
                 break
         assert matched
+
+
+def test_graphnet_default_init_params_vertex_count():
+    """init_params/complexity probe without num_vertices must account for
+    graphnet's 3 feature scales (V = 3 * total_split * S), or the CLI's
+    create_train_state crashes for msppgn."""
+    import jax
+
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.utils.model_complexity import compute_model_complexity
+
+    model = init_model(
+        "msppgn", num_classes=3, loss={"xent", "htri"}, num_split=2, num_gb=1
+    )
+    v = init_params(model, jax.random.PRNGKey(0), seq_len=2, height=64, width=32,
+                    batch_size=1)
+    assert "params" in v
+    n_params, gflops = compute_model_complexity(
+        model, v, seq_len=2, height=64, width=32, verbose=False
+    )
+    import numpy as np
+
+    assert np.isfinite(gflops) and gflops > 0
