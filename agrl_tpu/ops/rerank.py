@@ -59,8 +59,16 @@ def _bool_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _min_sum(vq: jnp.ndarray, v: jnp.ndarray, tile: int = 64) -> jnp.ndarray:
     """(Q, N), (N, N) -> (Q, N): ms[q, j] = sum_c min(vq[q, c], v[j, c]).
 
-    Min-plus "distance matrix" over membership rows; runs on the VPU in
-    gallery-row tiles so the broadcast fuses into the reduction."""
+    Min-plus "distance matrix" over membership rows — the dominant cost
+    of device re-ranking. On TPU this dispatches to the Pallas min-plus
+    kernel (ops/minsum.py; 0.13 s vs 1.19 s for the scan at MARS scale,
+    ~VPU speed-of-light); elsewhere a lax.scan over gallery-row tiles
+    whose broadcast-minimum fuses into its reduction."""
+    if jax.default_backend() == "tpu":
+        from agrl_tpu.ops.minsum import min_sum_pallas
+
+        return min_sum_pallas(vq, v)
+
     q, n = vq.shape
     pad = (-v.shape[0]) % tile
     v_tiles = jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, tile, n)

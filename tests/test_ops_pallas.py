@@ -102,3 +102,31 @@ class TestGraphConvKernelV2:
             )
         )
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+class TestMinSumKernel:
+    """Pallas min-plus matmul (ops/minsum.py) vs its jnp twin — the
+    Jaccard accumulation of device re-ranking."""
+
+    @pytest.mark.parametrize("shape", [(37, 53, 100), (130, 260, 515), (8, 8, 8)])
+    def test_parity(self, shape):
+        from agrl_tpu.ops.minsum import min_sum_pallas, min_sum_reference
+
+        Q, J, C = shape
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.rand(Q, C).astype(np.float32))
+        b = jnp.asarray(rng.rand(J, C).astype(np.float32))
+        got = min_sum_pallas(a, b, tq=16, tj=16, tc=32, interpret=True)
+        want = min_sum_reference(a, b)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_matches_rerank_scan_formulation(self):
+        from agrl_tpu.ops.minsum import min_sum_pallas
+        from agrl_tpu.ops import rerank
+
+        rng = np.random.RandomState(1)
+        vq = jnp.asarray(rng.rand(11, 40).astype(np.float32))
+        v = jnp.asarray(rng.rand(40, 40).astype(np.float32))
+        scan = rerank._min_sum(vq, v)  # cpu backend -> scan path
+        pallas = min_sum_pallas(vq, v, tq=8, tj=8, tc=16, interpret=True)
+        np.testing.assert_allclose(scan, pallas, atol=1e-4)
