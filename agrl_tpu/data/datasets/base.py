@@ -47,6 +47,8 @@ class VidReidDataset:
         total_pids: int | None = None, total_tracklets: int | None = None,
     ) -> None:
         n = np.asarray(num_imgs_per_tracklet)
+        if n.size == 0:
+            raise ValueError(f"{title}: dataset has no tracklets (empty split?)")
         # default totals convention of ilidsvid/prid/duke (reference
         # ilidsvid.py:94-95); MARS overrides with train+gallery (mars.py:96-97)
         if total_pids is None:

@@ -61,9 +61,18 @@ class SyntheticVidReid(VidReidDataset):
         self.dataset_dir = osp.join(root, "synthetic-mars")
         self.height, self.width = height, width
 
-        def build_split(split_name, relabelled_pids, cam_offset=0):
+        if num_cams < 2:
+            # the MARS protocol keeps only cross-camera matches; a single
+            # camera leaves every query without a valid gallery candidate
+            raise ValueError("synthetic dataset needs num_cams >= 2")
+
+        def build_split(split_name, relabelled_pids, cam_offset=0, file_pid_offset=0):
+            # file_pid_offset keeps test-split BASENAMES disjoint from the
+            # train split (real MARS has disjoint train/test raw pids), so
+            # the basename-keyed pose dict never aliases across splits
             tracklets, num_imgs = [], []
             for pid in relabelled_pids:
+                fpid = pid + file_pid_offset
                 for t in range(tracklets_per_pid):
                     camid = int((t + cam_offset) % num_cams)
                     n = int(rng.randint(*frames_per_tracklet))
@@ -71,8 +80,8 @@ class SyntheticVidReid(VidReidDataset):
                         osp.join(
                             self.dataset_dir,
                             split_name,
-                            f"{pid:04d}",
-                            f"{pid:04d}C{camid + 1}T{t:04d}F{f:03d}.jpg",
+                            f"{fpid:04d}",
+                            f"{fpid:04d}C{camid + 1}T{t:04d}F{f:03d}.jpg",
                         )
                         for f in range(n)
                     )
@@ -81,8 +90,12 @@ class SyntheticVidReid(VidReidDataset):
             return tracklets, num_imgs
 
         self.train, n_train = build_split("bbox_train", range(num_pids))
-        self.query, n_query = build_split("bbox_test", range(num_pids), cam_offset=0)
-        self.gallery, n_gallery = build_split("bbox_test", range(num_pids), cam_offset=1)
+        self.query, n_query = build_split(
+            "bbox_test", range(num_pids), cam_offset=0, file_pid_offset=num_pids
+        )
+        self.gallery, n_gallery = build_split(
+            "bbox_test", range(num_pids), cam_offset=1, file_pid_offset=num_pids
+        )
         self.num_train_pids = num_pids
         self.num_query_pids = num_pids
         self.num_gallery_pids = num_pids

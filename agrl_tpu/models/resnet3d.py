@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from agrl_tpu.models.backbone import BatchNorm, conv_kaiming
-from agrl_tpu.models.layers import classifier_init
+from agrl_tpu.models.layers import torch_linear_bias_init, torch_linear_kernel_init
 
 
 class BasicBlock3D(nn.Module):
@@ -116,7 +116,14 @@ class ResNet3D(nn.Module):
         f = x.mean(axis=(1, 2, 3))  # global spatio-temporal pooling
         if not train:
             return f
-        y = nn.Dense(self.num_classes, kernel_init=classifier_init, name="classifier")(f)
+        # torch-default Linear init: the reference 3D family never re-inits
+        # its fc head (resnet3dt.py:27)
+        y = nn.Dense(
+            self.num_classes,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(f.shape[-1]),
+            name="classifier",
+        )(f)
         if self.loss == frozenset({"xent"}):
             return y
         if self.loss == frozenset({"xent", "htri"}):

@@ -20,7 +20,22 @@ from agrl_tpu.models.backbone import (
     ResNetBackbone,
     ResNetTrunk,
 )
-from agrl_tpu.models.layers import classifier_init
+from agrl_tpu.models.layers import torch_linear_bias_init, torch_linear_kernel_init
+
+# ResNet50B's bottleneck/classifier get weights_init_kaiming (reference
+# resnet.py:138-141): kaiming_normal fan_out weights, zero bias
+_kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _torch_default_dense(features, fan_in, name):
+    """torch-default-initialized Dense (the reference never re-inits the
+    ResNet50/101/50M heads)."""
+    return nn.Dense(
+        features,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_linear_bias_init(fan_in),
+        name=name,
+    )
 
 
 class ResNetImage(nn.Module):
@@ -38,7 +53,7 @@ class ResNetImage(nn.Module):
         f = fmap.mean(axis=(1, 2))
         if not train:
             return f
-        y = nn.Dense(self.num_classes, kernel_init=classifier_init, name="classifier")(f)
+        y = _torch_default_dense(self.num_classes, f.shape[-1], "classifier")(f)
         if self.loss == frozenset({"xent"}):
             return y
         if self.loss == frozenset({"xent", "htri"}):
@@ -67,14 +82,14 @@ class ResNet50M(nn.Module):
         fc = x5c.mean(axis=(1, 2))
 
         mid = jnp.concatenate([fa, fb], axis=1)  # (B, 4096)
-        mid = nn.Dense(1024, name="fc_fuse")(mid)
+        mid = _torch_default_dense(1024, mid.shape[-1], "fc_fuse")(mid)
         mid = BatchNorm(use_running_average=not train, name="fc_fuse_bn")(mid)
         mid = nn.relu(mid)
 
         combo = jnp.concatenate([fc, mid], axis=1)  # (B, 3072)
         if not train:
             return combo
-        y = nn.Dense(self.num_classes, kernel_init=classifier_init, name="classifier")(combo)
+        y = _torch_default_dense(self.num_classes, combo.shape[-1], "classifier")(combo)
         if self.loss == frozenset({"xent"}):
             return y
         if self.loss == frozenset({"xent", "htri"}):
@@ -99,11 +114,11 @@ class ResNet50B(nn.Module):
         global_feat = fmap.mean(axis=(1, 2))
         if not train:
             return global_feat
-        feat = nn.Dense(512, name="bottleneck_fc")(global_feat)
+        feat = nn.Dense(512, kernel_init=_kaiming_fan_out, name="bottleneck_fc")(global_feat)
         feat = BatchNorm(use_running_average=not train, name="bottleneck_bn")(feat)
         feat = nn.leaky_relu(feat, negative_slope=0.1)
         feat = nn.Dropout(0.5, deterministic=not train)(feat)
-        y = nn.Dense(self.num_classes, kernel_init=classifier_init, name="classifier")(feat)
+        y = nn.Dense(self.num_classes, kernel_init=_kaiming_fan_out, name="classifier")(feat)
         if self.loss == frozenset({"xent"}):
             return y
         if self.loss == frozenset({"xent", "htri"}):

@@ -15,7 +15,8 @@ import warnings
 
 
 def mkdir_if_missing(directory: str) -> None:
-    if not osp.exists(directory):
+    # '' = bare filename (cwd): nothing to create — os.makedirs('') raises
+    if directory and not osp.exists(directory):
         try:
             os.makedirs(directory)
         except OSError as e:

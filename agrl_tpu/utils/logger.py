@@ -70,7 +70,7 @@ class ScalarWriter:
             from tensorboardX import SummaryWriter  # type: ignore
 
             self._tb = SummaryWriter(log_dir=log_dir)
-        except ImportError:
+        except Exception:  # tensorboardX is optional; broken installs too
             pass
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
