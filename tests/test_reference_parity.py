@@ -427,3 +427,133 @@ def test_training_objective_vs_reference_end_to_end():
     )
     np.testing.assert_allclose(got_xent, want_xent, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(got_htri, want_htri, rtol=2e-4, atol=2e-4)
+
+
+def test_training_gradients_vs_reference_end_to_end():
+    """Same weights, same batch: d(loss)/d(params) of the FULL vmgn
+    training objective must match the reference's autograd, leaf for leaf.
+
+    The torch per-parameter gradients are converted through the SAME name
+    map as the weights (convert_torch_state_dict works on a {name: grad}
+    dict), so every flax params leaf gets compared against its reference
+    counterpart — forward parity could hide a wrong custom-VJP or stop-
+    gradient; this cannot.
+
+    Runs in float64 on BOTH sides (torch .double(), scoped jax x64): in
+    f32 the mathematically-identical gradients diverge by up to ~1e-1
+    relative in early conv layers purely from accumulation noise amplified
+    through the BatchNorm backward chain; in f64 every leaf agrees to
+    ~3e-6, which is what this test pins down. Graph affinity runs with
+    dist_method='dot' (swapped in on both sides): l2's
+    sqrt(clamp(d2, 1e-12)) has an O(1/sqrt(d2)) gradient at the diagonal's
+    d2 ~ 0 that rounding flips by orders of magnitude, so exact l2
+    GRADIENT parity is meaningless; 'dot' is smooth and also covers the
+    emb_q/emb_k path l2 lacks."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from agrl_tpu.losses import (
+        batch_hard_triplet,
+        cross_entropy_label_smooth,
+        deep_supervision,
+    )
+    from agrl_tpu.models.weight_convert import convert_torch_state_dict
+
+    ref_vmgn = importlib.import_module("torchreid.models.vmgn")
+    orig = ref_vmgn.init_pretrained_weights
+    ref_vmgn.init_pretrained_weights = lambda *a, **k: None
+    # the reference inits from torch's GLOBAL RNG: pin it so the weight
+    # draw (and the gradient conditioning) is independent of test order
+    torch.manual_seed(123)
+    try:
+        tmodel = ref_vmgn.GSTA(
+            num_classes=6, loss={"xent", "htri"}, block=ref_vmgn.Bottleneck,
+            layers=[1, 1, 1, 1], num_split=4, pyramid_part=True, num_gb=2,
+            use_pose=True, learn_graph=True, consistent_loss=False,
+        ).train()
+    finally:
+        ref_vmgn.init_pretrained_weights = orig
+    for i in range(len(tmodel.graph_layers)):
+        tmodel.graph_layers[i] = ref_vmgn.GraphLayer(
+            in_features=2048, out_features=2048, use_pose=True,
+            learn_graph=True, dist_method="dot",
+        )
+    tmodel = tmodel.double()
+
+    ref_xent = importlib.import_module(
+        "torchreid.losses.cross_entropy_loss"
+    ).CrossEntropyLabelSmooth(num_classes=6, use_gpu=False)
+    ref_htri = importlib.import_module(
+        "torchreid.losses.hard_mine_triplet_loss"
+    ).TripletLoss(margin=0.3, soft=True)
+    ref_ds = importlib.import_module("torchreid.losses").DeepSupervision
+
+    rng = np.random.RandomState(7)
+    B, S, H, W, V = 4, 4, 128, 64, 28
+    x = rng.rand(B, S, 3, H, W)
+    adj = rng.rand(B, V, V) + np.eye(V)
+    pids = np.repeat(np.arange(2), 2)
+
+    outs, featps = tmodel(torch.tensor(x), torch.tensor(adj))
+    loss_t = ref_ds(ref_xent, outs, torch.tensor(pids)) + ref_ds(
+        ref_htri, featps, torch.tensor(pids)
+    )
+    loss_t.backward()
+    tgrads = {
+        n: p.grad for n, p in tmodel.named_parameters() if p.grad is not None
+    }
+    want_tree, _ = convert_torch_state_dict(tgrads)
+    want_flat = traverse_util.flatten_dict(want_tree["params"])
+
+    from agrl_tpu.models.vmgn import VMGN
+
+    fmodel = VMGN(
+        num_classes=6, loss=frozenset({"xent", "htri"}), layers=(1, 1, 1, 1),
+        num_split=4, pyramid_part=True, num_gb=2, dist_method="dot",
+    )
+
+    with jax.enable_x64(True):
+        merged = _flax_variables_from_torch(
+            fmodel, tmodel, seq_len=4, height=128, width=64
+        )
+        merged = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), merged)
+
+        def loss_fn(params):
+            (out_list, f_list), _ = fmodel.apply(
+                {"params": params, "batch_stats": merged["batch_stats"]},
+                jnp.asarray(x.transpose(0, 1, 3, 4, 2)), jnp.asarray(adj),
+                train=True, mutable=["batch_stats"],
+                rngs={"subclip": jax.random.PRNGKey(0)},
+            )
+            xent = deep_supervision(
+                cross_entropy_label_smooth, out_list, jnp.asarray(pids),
+                num_classes=6,
+            )
+            htri = deep_supervision(
+                batch_hard_triplet, f_list, jnp.asarray(pids), soft=True
+            )
+            return xent + htri
+
+        grads = jax.jit(jax.grad(loss_fn))(merged["params"])
+        got_flat = traverse_util.flatten_dict(grads)
+
+    # every reference gradient leaf must exist here and match
+    assert set(want_flat) <= set(got_flat)
+    checked = 0
+    for path, want in want_flat.items():
+        got = np.asarray(got_flat[path])
+        want = np.asarray(want)
+        scale = max(np.abs(want).max(), 1e-9)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-5 * scale,
+            err_msg="/".join(map(str, path)),
+        )
+        checked += 1
+    assert checked > 50  # the whole tree, not a token subset
+    # leaves we have but the reference lacks = only frozen BNNeck biases
+    # (no grad) -- everything trainable was compared
+    extra = set(got_flat) - set(want_flat)
+    assert all("bottleneck" in "/".join(map(str, p)) for p in extra), extra
