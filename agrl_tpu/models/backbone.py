@@ -24,8 +24,17 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-# torch BatchNorm defaults: momentum 0.1 (=> flax momentum 0.9), eps 1e-5
-BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+# torch BatchNorm defaults: momentum 0.1 (=> flax momentum 0.9), eps 1e-5.
+# use_fast_variance=False: flax's default E[x^2] - E[x]^2 can come out
+# slightly NEGATIVE under cancellation — with bf16 activations a
+# low-variance channel rounds to a constant whose fast variance is ~-1e-7
+# * x^2, which epsilon cannot cover for large x, so rsqrt goes NaN
+# (observed in real mixed-precision training on TPU). The two-pass
+# E[(x - mean)^2] is nonnegative by construction; its cost is noise next
+# to the convs.
+BatchNorm = partial(
+    nn.BatchNorm, momentum=0.9, epsilon=1e-5, use_fast_variance=False
+)
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 

@@ -53,7 +53,14 @@ def l1_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
-    """Similarity 2 / (exp(pairwise_euclidean) + 1) (vmgn.py:114-120).
+    """Similarity 2 / (exp(pairwise_euclidean) + 1) (vmgn.py:114-120),
+    computed as 2 * sigmoid(-dist) — the same function, but overflow-safe.
+
+    The reference's literal form NaNs in TRAINING once any pairwise
+    distance exceeds ~88 (exp overflows f32 -> forward 2/inf = 0 is fine,
+    but the backward is -2 exp(d)/(exp(d)+1)^2 = inf/inf = NaN; observed
+    as sudden loss-NaN on real-size models mid-training). sigmoid keeps
+    both directions finite: the gradient decays to 0 for large d.
 
     fp32 accumulation: the quadratic form cancels near zero distance and
     the affinity is sharpest exactly there (V is tiny, cost negligible)."""
@@ -63,7 +70,7 @@ def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     )
     dist = jnp.sqrt(jnp.clip(d2, min=1e-12))
-    return 2.0 / (jnp.exp(dist) + 1.0)
+    return 2.0 * jax.nn.sigmoid(-dist)
 
 
 class GraphConvLayer(nn.Module):

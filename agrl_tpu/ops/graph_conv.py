@@ -3,7 +3,7 @@
 The VMGN hot op (reference vmgn.py:142-172) is, per clip:
     h      = f @ W                         (V x C @ C x C matmul — MXU)
     A      = row_l1(adj)                   (pose graph)
-    S      = row_l1(2 / (exp(pdist(f)) + 1))  (learned affinity)
+    S      = row_l1(2 * sigmoid(-pdist(f)))   (learned affinity)
     G      = (A + S) / 2
     h'     = G @ h
     out    = (1 - gamma) * f + gamma * lrelu(bn(h'))
@@ -54,7 +54,7 @@ def graph_propagate_reference(f, adj, W, scale, bias, mean, var, gamma=0.1):
     d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
         "bic,bjc->bij", f, f, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    sim = 2.0 / (jnp.exp(jnp.sqrt(jnp.clip(d2, min=1e-12))) + 1.0)
+    sim = 2.0 * jax.nn.sigmoid(-jnp.sqrt(jnp.clip(d2, min=1e-12)))
     graph = (adj_n + _row_l1(sim)) / 2.0
     hp = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
     hp = (hp - mean) / jnp.sqrt(var + BN_EPS) * scale + bias
@@ -83,7 +83,7 @@ def _kernel(v_real_ref, f_ref, adj_ref, bn_ref, w_hbm, out_ref, w_buf, dma_sems)
     sq = jnp.sum(f * f, axis=1, keepdims=True)  # (V, 1)
     gram = jnp.dot(f, f.T, preferred_element_type=jnp.float32)
     d2 = sq + jnp.transpose(sq) - 2.0 * gram
-    sim = 2.0 / (jnp.exp(jnp.sqrt(jnp.maximum(d2, 1e-12))) + 1.0)
+    sim = 2.0 * jax.nn.sigmoid(-jnp.sqrt(jnp.maximum(d2, 1e-12)))
     sim = jnp.where(mask, sim, 0.0)  # pad rows/cols contribute 0
     sim_n = sim / jnp.maximum(jnp.sum(jnp.abs(sim), axis=1, keepdims=True), 1e-12)
     graph = (adj_n + sim_n) * 0.5  # (V, V)

@@ -59,7 +59,7 @@ def _kernel(
                 sq = jnp.sum(f_b * f_b, axis=1, keepdims=True)
                 gram = jnp.dot(f_b, f_b.T, preferred_element_type=jnp.float32)
                 d2 = sq + jnp.transpose(sq) - 2.0 * gram
-                sim = 2.0 / (jnp.exp(jnp.sqrt(jnp.maximum(d2, 1e-12))) + 1.0)
+                sim = 2.0 * jax.nn.sigmoid(-jnp.sqrt(jnp.maximum(d2, 1e-12)))
                 sim = jnp.where(mask, sim, 0.0)
                 sim_n = sim / jnp.maximum(
                     jnp.sum(jnp.abs(sim), axis=1, keepdims=True), 1e-12

@@ -192,8 +192,9 @@ def main():
         t0 = time.perf_counter()
         for i in range(8):
             state, m = step(state, xu8, pids, adj_t, jax.random.PRNGKey(i))
-        _ = float(m["loss"])
+        loss = float(m["loss"])
         train_step_s = min(train_step_s, (time.perf_counter() - t0) / 8)
+    assert np.isfinite(loss), f"train loss went non-finite: {loss}"
     train_clips_per_sec = TB / train_step_s
 
     # ---- host input pipeline (real ClipLoader over materialized JPEGs) ----

@@ -171,3 +171,41 @@ def test_bf16_dtype_reaches_whole_vmgn_family():
             arch, num_classes=4, loss={"xent", "htri"}, dtype=jnp.bfloat16
         )
         assert m.dtype == jnp.bfloat16, arch
+
+
+def test_batchnorm_survives_constant_channels():
+    """Regression for a real NaN seen in mixed-precision training on TPU:
+    flax's default fast variance E[x^2] - E[x]^2 of a (numerically)
+    constant channel can come out NEGATIVE beyond epsilon (e.g. a channel
+    bf16-rounding collapsed to one value), and rsqrt(var + eps) goes NaN.
+    Our shared BatchNorm uses the two-pass variance, nonnegative by
+    construction."""
+    import numpy as np
+
+    from agrl_tpu.models.backbone import BatchNorm
+
+    # 123.456f repeated: f32 fast variance is ~ -0.018 < -eps
+    x = jnp.full((640, 4), jnp.float32(123.456))
+    fast = jnp.mean(x * x, axis=0) - jnp.mean(x, axis=0) ** 2
+    assert float(fast.min()) < -1e-5  # the hazard is real on this input
+
+    bn = BatchNorm(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    y, _ = bn.apply(v, x, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_l2_affinity_gradients_finite_at_large_distances():
+    """Regression for a mid-training NaN on real-size models: the
+    reference's literal 2/(exp(d)+1) overflows exp at d > ~88 and its
+    BACKWARD becomes inf/inf = NaN. The sigmoid form must keep gradients
+    finite (decaying to 0) for arbitrarily large feature norms."""
+    import numpy as np
+
+    from agrl_tpu.models.layers import l2_affinity
+
+    v = jnp.asarray(np.random.RandomState(0).randn(1, 6, 16), jnp.float32) * 100.0
+    # pairwise distances here are O(1000) >> 88: exp would overflow
+    val, grad = jax.value_and_grad(lambda v: l2_affinity(v).sum())(v)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
