@@ -102,12 +102,3 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
-
-
-def make_eval_step(model):
-    """Returns eval_step(variables, imgs, adj) -> features (jitted)."""
-
-    def eval_step(variables, imgs, adj):
-        return model.apply(variables, imgs, adj, train=False)
-
-    return jax.jit(eval_step)
