@@ -126,17 +126,11 @@ def re_ranking_device(
     v = w / jnp.sum(w, axis=1, keepdims=True)  # i in R(i) => row sum > 0
 
     # local query expansion: mean membership over the k2 nearest neighbors
+    # — k2 row gathers (k2 * N^2 reads) instead of an (N, N) x (N, N)
+    # indicator matmul (N^3 flops)
     if k2 != 1:
         k2 = min(k2, n)
-        m_k2 = (
-            jnp.zeros((n, n), jnp.float32)
-            .at[jnp.arange(n)[:, None], nn_idx[:, :k2]]
-            .set(1.0)
-        )
-        v = (
-            jnp.dot(m_k2, v, precision=jax.lax.Precision.HIGHEST)
-            / k2
-        )
+        v = sum(v[nn_idx[:, k], :] for k in range(k2)) / k2
 
     min_sum = _min_sum(v[:num_q], v, tile=tile)  # (Q, N)
     jaccard = 1.0 - min_sum / (2.0 - min_sum)
