@@ -105,3 +105,45 @@ def test_dp_sharded_matches_replicated():
     np.testing.assert_allclose(
         float(m_single["xent_loss"]), float(m_shard["xent_loss"]), rtol=2e-4
     )
+
+
+def test_bf16_train_step_matches_f32_and_stays_finite():
+    """Mixed-precision (--bf16-train) guard: the bf16-backbone train step
+    must produce finite losses tracking the f32 step within bf16 noise
+    for several steps (the hardware NaNs of round 2 motivated this)."""
+    import numpy as np
+
+    from agrl_tpu.engine import create_train_state, make_train_step
+    from agrl_tpu.models import init_model
+    from agrl_tpu.optim import init_optim
+
+    B, S, H, W = 4, 6, 64, 32  # consistent loss needs seq_len >= 5
+    losses = {}
+    for label, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        rng = np.random.RandomState(0)  # identical batch for both dtypes
+        model = init_model(
+            "vmgn_tiny", num_classes=2, loss={"xent", "htri"}, num_split=4,
+            pyramid_part=True, num_gb=1, use_pose=True, learn_graph=True,
+            consistent_loss=True, dtype=dtype,
+        )
+        tx = init_optim("adam", 1e-4, weight_decay=5e-4)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), seq_len=S, height=H, width=W,
+            batch_size=2,
+        )
+        V = S * model.total_split
+        xu8 = jnp.asarray(rng.randint(0, 256, (B, S, H, W, 3)), jnp.uint8)
+        adj = jnp.asarray((np.random.RandomState(1).rand(B, V, V) > 0.5), jnp.float32)
+        pids = jnp.asarray([0, 0, 1, 1])
+        step = make_train_step(model, tx, aug=dict(flip_aug=True), donate=False)
+        traj = []
+        for i in range(4):
+            state, m = step(state, xu8, pids, adj, jax.random.PRNGKey(i))
+            traj.append(float(m["loss"]))
+        losses[label] = traj
+    for tr in losses.values():
+        assert all(np.isfinite(v) for v in tr), losses
+    # same trajectory within mixed-precision noise
+    np.testing.assert_allclose(
+        losses["f32"], losses["bf16"], rtol=0.05, atol=0.05
+    )
