@@ -28,6 +28,10 @@ from agrl_tpu.metrics import evaluate_rank, re_ranking
 from agrl_tpu.ops.distmat import compute_distmat
 from agrl_tpu.utils.avgmeter import AverageMeter
 
+# module-level jit: a per-evaluate() lambda would re-trace and re-compile
+# the same distance computation every evaluation epoch
+_distmat_jit = jax.jit(compute_distmat, static_argnames=("metric",))
+
 
 class Evaluator:
     def __init__(
@@ -320,7 +324,7 @@ class Evaluator:
                 return cmc[0], mAP
 
         print(f"Computing distance matrix with metric={dist_metric} ...")
-        dist_fn = jax.jit(lambda a, b: compute_distmat(a, b, dist_metric))
+        dist_fn = lambda a, b: _distmat_jit(a, b, metric=dist_metric)  # noqa: E731
         if mesh is not None:
             from agrl_tpu.ops.distmat import sharded_distmat
 

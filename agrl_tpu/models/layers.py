@@ -62,8 +62,11 @@ def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
     as sudden loss-NaN on real-size models mid-training). sigmoid keeps
     both directions finite: the gradient decays to 0 for large d.
 
-    fp32 accumulation: the quadratic form cancels near zero distance and
-    the affinity is sharpest exactly there (V is tiny, cost negligible)."""
+    fp32 accumulation THROUGHOUT (input cast incl. the squared norms — a
+    bf16 sq against an f32 cross term would reinject the cancellation
+    error): the quadratic form cancels near zero distance and the
+    affinity is sharpest exactly there (V is tiny, cost negligible)."""
+    v = v.astype(jnp.float32)
     sq = jnp.sum(v * v, axis=2)
     d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
         "bic,bjc->bij", v, v, precision=jax.lax.Precision.HIGHEST,

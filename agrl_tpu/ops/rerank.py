@@ -115,10 +115,16 @@ def re_ranking_device(
     r_half = f_half & f_half.T
 
     # candidate expansion: for each candidate c in R(i), adopt Rh(c) when
-    # |Rh(c) n R(i)| > 2/3 |Rh(c)|  (reference re_ranking.py:52-57)
+    # |Rh(c) n R(i)| > 2/3 |Rh(c)|  (reference re_ranking.py:52-57).
+    # 3*overlap > 2*|Rh| — the exact-integer form of the reference's f64
+    # `len(inter) > 2./3*len(Rh)`: verified empirically that the f64 (and
+    # f32) product lands exactly on the integer for |Rh| divisible by 3,
+    # so strict > rejects equality there, and equality is impossible
+    # otherwise — the integer comparison reproduces it with no float
+    # threshold at all
     overlap = _bool_matmul(r_full, r_half.T)  # (i, c) -> |R(i) n Rh(c)|
     rh_size = jnp.sum(r_half, axis=1).astype(jnp.float32)  # |Rh(c)|
-    cond = r_full & (overlap > (2.0 / 3.0) * rh_size[None, :])
+    cond = r_full & (3.0 * overlap > 2.0 * rh_size[None, :])
     expanded = r_full | (_bool_matmul(cond, r_half) > 0)
 
     # soft membership: Gaussian weight over the expanded set, row-normalized

@@ -44,7 +44,9 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
 
     import numpy as np
 
-    root = "/tmp/agrl_bench_jpegs"
+    # corpus dir keyed by its generation parameters: a bare marker would
+    # silently reuse a stale corpus after a parameter change
+    root = f"/tmp/agrl_bench_jpegs_{n_track}x{frames_per}_{H}x{W}"
     if not os.path.exists(root + "/done"):
         from PIL import Image
 
