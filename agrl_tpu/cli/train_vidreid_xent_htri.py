@@ -124,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cache decoded frames in host RAM across epochs "
                         "(~H*W*3 bytes per distinct frame; keeps the input "
                         "pipeline off the critical path after epoch one)")
+    p.add_argument("--cache-gb", type=float, default=8.0,
+                   help="host-RAM budget (GB) for the --cache-frames LRU, "
+                        "shared across train/query/gallery; <=0 = unbounded")
+    p.add_argument("--frame-cache-dir", type=str, default="",
+                   help="persistent on-disk decoded-frame cache directory: "
+                        "JPEG decode cost is paid once per machine — later "
+                        "runs stream resized uint8 frames from disk")
     p.add_argument("--use-cpu", action="store_true")
     p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
     p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
@@ -183,6 +190,34 @@ def run(args):
         root=args.root, name=args.dataset, split_id=args.split_id, use_pose=args.use_pose
     )
 
+    # one shared byte-budgeted LRU across train/query/gallery; one shared
+    # persistent frame store. Print the worst-case RAM math up front so a
+    # MARS-scale --cache-frames run (~50 GB at 256x128) is never a surprise.
+    from agrl_tpu.data.cache import BoundedCache, FrameDiskCache, estimate_cache_gb
+
+    shared_cache = None
+    if args.cache_frames:
+        full_gb = estimate_cache_gb(
+            [dataset.train, dataset.query, dataset.gallery], args.height, args.width
+        )
+        cap_bytes = int(args.cache_gb * 1e9) if args.cache_gb > 0 else None
+        cap_txt = f"{args.cache_gb:g} GB cap" if cap_bytes else "UNBOUNDED"
+        print(
+            f"Frame cache: ~{full_gb:.1f} GB to hold every decoded frame "
+            f"({args.height}x{args.width}); LRU budget = {cap_txt} (--cache-gb)"
+        )
+        shared_cache = BoundedCache(cap_bytes)
+    disk_cache = (
+        FrameDiskCache(args.frame_cache_dir, args.height, args.width)
+        if args.frame_cache_dir
+        else None
+    )
+    if disk_cache is not None:
+        print(
+            f"Persistent frame cache: '{args.frame_cache_dir}' "
+            f"({len(disk_cache)} frames present)"
+        )
+
     ds_kwargs = dict(
         height=args.height,
         width=args.width,
@@ -193,6 +228,8 @@ def run(args):
         pyramid_part=args.pyramid_part,
         enable_pose=args.use_pose,
         cache_frames=args.cache_frames,
+        cache=shared_cache,
+        disk_cache=disk_cache,
     )
     train_ds = VideoClipDataset(dataset.train, seq_len=args.seq_len, sample=args.train_sample, **ds_kwargs)
     query_ds = VideoClipDataset(dataset.query, seq_len=args.seq_len, sample=args.test_sample, **ds_kwargs)

@@ -1,0 +1,178 @@
+"""Host-side frame caches: a byte-capped LRU for RAM and a persistent
+on-disk decoded-frame store.
+
+Role: the reference hides JPEG decode behind 8 torch DataLoader workers
+every epoch (train_vidreid_xent_htri.py:37-38, reader
+dataset_loader.py:23-36) and re-decodes the full dataset each pass. A TPU
+host may have few cores, so decode must be paid as rarely as possible:
+
+  * `BoundedCache` — the in-RAM frame/item cache behind `--cache-frames`,
+    now with strict byte accounting and LRU eviction (`--cache-gb`).
+    MARS-scale math: ~510k distinct train frames at 256x128x3 = ~50 GB —
+    an unbounded dict silently OOMs smaller hosts.
+  * `FrameDiskCache` — an append-only uint8 record store keyed by image
+    path (one store per (H, W)): fixed-size records of H*W*3 frame bytes
+    plus the original (w, h). The decode cost of a dataset is paid once
+    per MACHINE, not once per run — every later cold start streams
+    decoded frames from disk at IO speed instead of re-running libjpeg.
+
+Both are thread-safe against the loader's decode thread pool.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import threading
+from collections import OrderedDict
+
+import numpy as np
+
+
+def _nbytes(obj) -> int:
+    """Approximate payload size of a cache value: summed ndarray bytes
+    (+ a small fixed overhead for tuple/scalar structure)."""
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes + 64
+    if isinstance(obj, (tuple, list)):
+        return sum(_nbytes(v) for v in obj) + 64
+    return 64
+
+
+class BoundedCache:
+    """Byte-capped LRU mapping (thread-safe).
+
+    `max_bytes=None` means unbounded (the round-2 behavior). Access via
+    `get`/`__setitem__`; `get` refreshes recency. When an insert pushes the
+    total over the cap, least-recently-used entries are evicted until it
+    fits; a single value larger than the whole cap is simply not stored.
+    """
+
+    def __init__(self, max_bytes: int | None = None):
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+        self.max_bytes = max_bytes
+        self.nbytes = 0
+        self.evictions = 0
+
+    def __len__(self):
+        return len(self._d)
+
+    def get(self, key, default=None):
+        with self._lock:
+            try:
+                self._d.move_to_end(key)
+                return self._d[key][0]
+            except KeyError:
+                return default
+
+    def __setitem__(self, key, value):
+        size = _nbytes(value)
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self.nbytes -= old[1]
+            if self.max_bytes is not None and size > self.max_bytes:
+                return  # one value over the whole cap: don't thrash
+            self._d[key] = (value, size)
+            self.nbytes += size
+            if self.max_bytes is not None:
+                while self.nbytes > self.max_bytes and self._d:
+                    _, (_, evicted_size) = self._d.popitem(last=False)
+                    self.nbytes -= evicted_size
+                    self.evictions += 1
+
+    def clear(self):
+        with self._lock:
+            self._d.clear()
+            self.nbytes = 0
+
+
+class FrameDiskCache:
+    """Persistent decoded-frame store: `frames_{H}x{W}.bin` holds
+    fixed-size records (2 int32 of original (w, h), then H*W*3 uint8 of
+    the resized RGB frame); `frames_{H}x{W}.idx` holds one image path per
+    line in record order. Lookups are `os.pread` at record offsets (no
+    shared file-position state -> safe under the loader's thread pool);
+    appends hold a lock. A partial trailing record from a crashed run is
+    ignored (the index is authoritative up to the shorter of the two
+    files)."""
+
+    def __init__(self, cache_dir: str, height: int, width: int):
+        self.height = height
+        self.width = width
+        self.frame_bytes = height * width * 3
+        self.rec_bytes = 8 + self.frame_bytes
+        os.makedirs(cache_dir, exist_ok=True)
+        self.bin_path = osp.join(cache_dir, f"frames_{height}x{width}.bin")
+        self.idx_path = osp.join(cache_dir, f"frames_{height}x{width}.idx")
+        self._lock = threading.Lock()
+        self._index: dict[str, int] = {}
+
+        open(self.bin_path, "ab").close()
+        open(self.idx_path, "ab").close()
+        with open(self.idx_path, "r") as f:
+            paths = f.read().splitlines()
+        full_records = os.path.getsize(self.bin_path) // self.rec_bytes
+        n = min(len(paths), full_records)
+        self._index = {p: i for i, p in enumerate(paths[:n])}
+        self._n = n
+        # data reads via pread on a shared fd; appends via buffered handles
+        self._read_fd = os.open(self.bin_path, os.O_RDONLY)
+        self._bin_append = open(self.bin_path, "r+b")
+        self._bin_append.seek(n * self.rec_bytes)
+        self._bin_append.truncate()  # drop any partial trailing record
+        self._idx_append = open(self.idx_path, "a")
+
+    def __len__(self):
+        return self._n
+
+    def get(self, path: str):
+        """-> (frame (H, W, 3) uint8, (w, h)) or None."""
+        i = self._index.get(path)
+        if i is None:
+            return None
+        raw = os.pread(self._read_fd, self.rec_bytes, i * self.rec_bytes)
+        if len(raw) != self.rec_bytes:
+            return None
+        w, h = np.frombuffer(raw, np.int32, count=2)
+        img = np.frombuffer(raw, np.uint8, offset=8).reshape(
+            self.height, self.width, 3
+        )
+        return img, (int(w), int(h))
+
+    def put(self, path: str, img: np.ndarray, size) -> None:
+        assert img.shape == (self.height, self.width, 3) and img.dtype == np.uint8
+        with self._lock:
+            if path in self._index:
+                return
+            rec = np.asarray(size[:2], np.int32).tobytes() + np.ascontiguousarray(img).tobytes()
+            self._bin_append.write(rec)
+            self._bin_append.flush()
+            self._idx_append.write(path + "\n")
+            self._idx_append.flush()
+            self._index[path] = self._n
+            self._n += 1
+
+    def close(self):
+        with self._lock:
+            try:
+                os.close(self._read_fd)
+            except OSError:
+                pass
+            self._bin_append.close()
+            self._idx_append.close()
+            self._index.clear()
+
+
+def estimate_cache_gb(datasets, height: int, width: int) -> float:
+    """Startup RAM estimate for --cache-frames: distinct frames across the
+    given tracklet lists x H*W*3 bytes, in GB."""
+    paths = set()
+    for tracklets in datasets:
+        for entry in tracklets:
+            img_paths = entry[0]
+            if isinstance(img_paths, str):
+                img_paths = (img_paths,)
+            paths.update(img_paths)
+    return len(paths) * height * width * 3 / 1e9

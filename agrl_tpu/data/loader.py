@@ -22,6 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from agrl_tpu.data.cache import BoundedCache, FrameDiskCache
 from agrl_tpu.data.graph import GraphBuilder
 from agrl_tpu.data.pose import pose_key_for_path
 from agrl_tpu.data.sampling import sample_clip_indices
@@ -66,6 +67,10 @@ class VideoClipDataset:
         max_len: int = 1000,
         key_fn=None,
         cache_frames: bool = False,
+        cache: BoundedCache | None = None,
+        cache_bytes: int | None = None,
+        disk_cache: FrameDiskCache | str | None = None,
+        decode_threads: int | None = None,
     ):
         self.tracklets = tracklets
         self.seq_len = seq_len
@@ -74,16 +79,27 @@ class VideoClipDataset:
         self.width = width
         self.pose_info = pose_info if pose_info is not None else {}
         self.max_len = max_len
-        # decoded-frame reuse across epochs (~H*W*3 bytes/frame of host RAM;
-        # opt-in). Plain dict: GIL-atomic writes, duplicate decode at worst.
-        self.frame_cache: dict | None = {} if cache_frames else None
-        # eval-time samplers are deterministic (evenly/all/dense/skipdense
-        # never consume rng) -> cache the whole assembled item: repeat
-        # epochs skip decode, graph build AND frame stacking
-        self.item_cache: dict | None = (
-            {} if cache_frames and sample in ("evenly", "all", "dense", "skipdense")
-            else None
-        )
+        # RAM reuse across epochs (opt-in): ONE byte-capped LRU holds both
+        # decoded frames (key = image path; shareable across datasets) and,
+        # for deterministic eval samplers (evenly/all/dense/skipdense never
+        # consume rng), whole assembled items (key = (tag, index)) so
+        # repeat epochs skip decode, graph build AND frame stacking.
+        # `cache_bytes` caps the budget (None = unbounded, round-2
+        # behavior); pass a shared `cache` so several datasets draw from
+        # one budget with one LRU order.
+        if cache is None and cache_frames:
+            cache = BoundedCache(cache_bytes)
+        self.cache = cache
+        self._cache_items = sample in ("evenly", "all", "dense", "skipdense")
+        self._item_tag = f"item:{id(self)}"
+        # persistent decoded-frame store (see data.cache.FrameDiskCache):
+        # survives processes; decode is paid once per machine per dataset
+        if isinstance(disk_cache, str):
+            disk_cache = FrameDiskCache(disk_cache, height, width)
+        self.disk_cache = disk_cache
+        # native-decoder OpenMP width: None = resolved by the ClipLoader
+        # (hardware default when it runs single-worker, 1 under its pool)
+        self.decode_threads = decode_threads
         self.graph_builder = GraphBuilder(
             num_split=num_split,
             num_parts=num_parts,
@@ -114,12 +130,13 @@ class VideoClipDataset:
         return self.graph_builder(poses, heights)
 
     def get_item(self, index: int, rng: np.random.RandomState | None = None):
-        if self.item_cache is not None:
-            hit = self.item_cache.get(index)
+        if self.cache is not None and self._cache_items:
+            key = (self._item_tag, index)
+            hit = self.cache.get(key)
             if hit is not None:
                 return hit
             item = self._build_item(index, rng)
-            self.item_cache[index] = item
+            self.cache[key] = item
             return item
         return self._build_item(index, rng)
 
@@ -132,9 +149,11 @@ class VideoClipDataset:
         chosen = [img_paths[int(i)] for i in indices]
         # when whole items are cached the frame cache would hold a second
         # decoded copy of every frame for no reuse — skip it
-        frame_cache = self.frame_cache if self.item_cache is None else None
+        frame_cache = self.cache if not self._cache_items else None
         imgs, sizes = host_decode_resize(
-            chosen, self.height, self.width, cache=frame_cache
+            chosen, self.height, self.width, cache=frame_cache,
+            disk_cache=self.disk_cache,
+            threads=1 if self.decode_threads is None else self.decode_threads,
         )
 
         if self.sample in ("dense", "skipdense"):
@@ -182,6 +201,12 @@ class ClipLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        # decode parallelism placement: with a worker pool, each native
+        # decode call stays single-threaded (the pool IS the parallelism);
+        # single-worker loading hands the full core budget to the decoder's
+        # own OpenMP team instead (threads=0 = hardware default)
+        if getattr(dataset, "decode_threads", 1) is None:
+            dataset.decode_threads = 0 if self.num_workers == 1 else 1
         self.rng = np.random.RandomState(seed)
         if process_shard is not None:
             pid, nproc = process_shard

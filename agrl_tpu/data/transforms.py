@@ -38,7 +38,8 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def host_decode_resize(
-    paths, height: int, width: int, cache: dict | None = None
+    paths, height: int, width: int, cache=None, disk_cache=None,
+    threads: int = 1,
 ) -> tuple[np.ndarray, list]:
     """Read + resize frames on host. Returns (S, H, W, 3) uint8 and the
     ORIGINAL (w, h) sizes (the graph builder needs them).
@@ -48,28 +49,60 @@ def host_decode_resize(
     failures (and non-JPEG files) fall back to the robust PIL reader, which
     retries IO errors forever like the reference (dataset_loader.py:23-36).
 
-    `cache`: optional {path: (img_u8, (w, h))} dict — decoded frames are
-    reused across epochs (the reference re-decodes every epoch; on a
-    few-core TPU host the cache keeps the input pipeline off the critical
-    path after epoch one)."""
-    if cache is not None:
-        missing = [p for p in paths if p not in cache]
-        if missing:
-            imgs_m, sizes_m = _decode_batch(missing, height, width)
-            for i, p in enumerate(missing):
-                cache[p] = (imgs_m[i], sizes_m[i])
-        frames = np.stack([cache[p][0] for p in paths])
-        return frames, [cache[p][1] for p in paths]
-    return _decode_batch(paths, height, width)
+    `cache`: optional {path: (img_u8, (w, h))} mapping (a plain dict or
+    a data.cache.BoundedCache) — decoded frames are reused across epochs
+    (the reference re-decodes every epoch; on a few-core TPU host the
+    cache keeps the input pipeline off the critical path after epoch one).
+
+    `disk_cache`: optional data.cache.FrameDiskCache — a persistent store
+    consulted after `cache` and before decode; decode results are written
+    back, so the dataset's decode cost is paid once per machine.
+
+    `threads`: OpenMP width for the native decoder (0 = hardware default;
+    keep 1 when the caller already runs a decode thread pool). Lookups are
+    eviction-safe: a value fetched under a concurrent LRU cache is held
+    locally until used."""
+    if cache is None and disk_cache is None:
+        return _decode_batch(paths, height, width, threads)
+
+    held: dict = {}
+    missing: list[str] = []
+    for p in paths:
+        if p in held:
+            continue
+        v = cache.get(p) if cache is not None else None
+        if v is None and disk_cache is not None:
+            v = disk_cache.get(p)
+            if v is not None and cache is not None:
+                cache[p] = v
+        if v is None:
+            missing.append(p)
+        else:
+            held[p] = v
+    if missing:
+        imgs_m, sizes_m = _decode_batch(missing, height, width, threads)
+        for i, p in enumerate(missing):
+            v = (imgs_m[i], sizes_m[i])
+            held[p] = v
+            if cache is not None:
+                cache[p] = v
+            if disk_cache is not None:
+                disk_cache.put(p, imgs_m[i], sizes_m[i])
+    frames = np.stack([held[p][0] for p in paths])
+    return frames, [held[p][1] for p in paths]
 
 
-def _decode_batch(paths, height: int, width: int) -> tuple[np.ndarray, list]:
+def _decode_batch(
+    paths, height: int, width: int, threads: int = 1
+) -> tuple[np.ndarray, list]:
     from agrl_tpu.data import jpeg_native
 
     if jpeg_native.available() and all(
         p.lower().endswith((".jpg", ".jpeg")) for p in paths
     ):
-        imgs, sizes, ok = jpeg_native.decode_resize_batch(paths, height, width)
+        imgs, sizes, ok = jpeg_native.decode_resize_batch(
+            paths, height, width, threads=threads
+        )
         if not ok.all():  # corrupt/missing entries -> robust PIL reader
             for i in np.flatnonzero(~ok):
                 imgs[i], sizes[i] = _pil_decode_one(paths[i], height, width)

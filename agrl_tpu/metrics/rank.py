@@ -326,11 +326,13 @@ def evaluate_rank(
 ):
     """Dispatcher mirroring reference torchreid/metrics/rank.py:215-238.
 
-    Like the reference preferring its Cython extension, the mars and
-    market1501 protocols dispatch to the C++ extension
+    Like the reference preferring its Cython extension, the mars,
+    market1501 and cuhk03 protocols dispatch to the C++ extension
     (native/librank_eval.so, bound in agrl_tpu.metrics.rank_native) when
-    it is built; otherwise the vectorized NumPy paths run. Fully on-device
-    evaluation lives in agrl_tpu.ops.rank."""
+    it is built; otherwise the vectorized NumPy paths run. The cuhk03
+    native path consumes the global np.random stream exactly like the
+    NumPy path (and the reference), so the dispatch choice never changes
+    results. Fully on-device evaluation lives in agrl_tpu.ops.rank."""
     if use_native:
         from agrl_tpu.metrics import rank_native
 
@@ -341,6 +343,10 @@ def evaluate_rank(
                 )
             if use_metric_market1501:
                 return rank_native.evaluate_market1501_native(
+                    distmat, q_pids, g_pids, q_camids, g_camids, max_rank
+                )
+            if use_metric_cuhk03:
+                return rank_native.evaluate_cuhk03_native(
                     distmat, q_pids, g_pids, q_camids, g_camids, max_rank
                 )
     if use_metric_cuhk03:

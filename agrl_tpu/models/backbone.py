@@ -25,16 +25,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # torch BatchNorm defaults: momentum 0.1 (=> flax momentum 0.9), eps 1e-5.
-# use_fast_variance=False: flax's default E[x^2] - E[x]^2 can come out
-# slightly NEGATIVE under cancellation — with bf16 activations a
-# low-variance channel rounds to a constant whose fast variance is ~-1e-7
-# * x^2, which epsilon cannot cover for large x, so rsqrt goes NaN
-# (observed in real mixed-precision training on TPU). The two-pass
-# E[(x - mean)^2] is nonnegative by construction; its cost is noise next
-# to the convs.
-BatchNorm = partial(
-    nn.BatchNorm, momentum=0.9, epsilon=1e-5, use_fast_variance=False
-)
+# One-pass (fast) variance E[x^2] - E[x]^2 is safe on this flax version:
+# _compute_stats promotes statistics to f32 AND clamps the cancellation
+# residue with `var = jnp.maximum(0.0, mu2 - _abs_sq(mu))` (flax 0.12.3,
+# linen/normalization.py), so a bf16-rounded constant channel can never
+# reach rsqrt with var + eps < 0. Round 2 shipped the two-pass
+# use_fast_variance=False out of caution after a mid-training NaN (the
+# actual overflow was the l2 affinity, fixed separately as 2*sigmoid(-d));
+# the two-pass cost ~5.6% train throughput (BENCH_r01 302.8 -> r02 285.7
+# clips/s) because it reads the conv activations from HBM twice. The
+# constant-channel regression tests (tests/test_models.py) pin the
+# finiteness guarantee either way.
+BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 

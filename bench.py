@@ -35,11 +35,14 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
     """Host input pipeline through the REAL ClipLoader on materialized JPEGs:
     native batched libjpeg decode + pose graph build + collation.
 
-    Returns (cold clips/s, warm clips/s with the frame+item cache,
-    imgs/s/core). The axon-tunnel H2D (~20-40 MB/s) is a harness artifact —
-    a real TPU host feeds HBM at GB/s — so end-to-end throughput is
-    reported as min(host rate, device rate) rather than timed through the
-    tunnel."""
+    Returns (decode-bound cold clips/s, disk-cache cold-start clips/s,
+    warm clips/s with the RAM item cache, imgs/s/core). "Disk-cache cold
+    start" = a fresh process on a machine whose persistent frame store
+    (data.cache.FrameDiskCache, CLI --frame-cache-dir) was populated by any
+    earlier run: decode is replaced by sequential uint8 reads. The
+    axon-tunnel H2D (~20-40 MB/s) is a harness artifact — a real TPU host
+    feeds HBM at GB/s — so end-to-end throughput is reported as
+    min(host rate, device rate) rather than timed through the tunnel."""
     import os
 
     import numpy as np
@@ -88,18 +91,27 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
             n += imgs.shape[0]
         return n / (time.perf_counter() - t0)
 
-    ds = VideoClipDataset(
-        tracklets, seq_len=S, sample="evenly", height=H, width=W,
+    ds_args = dict(
+        seq_len=S, sample="evenly", height=H, width=W,
         pose_info=pose_info, num_split=4, pyramid_part=True, enable_pose=True,
         cache_frames=True, key_fn=lambda p: p,
     )
+    ds = VideoClipDataset(tracklets, **ds_args)
     loader = ClipLoader(ds, batch_size=batch, num_workers=1)
     run(loader)  # page-cache + cache-fill warmup
-    ds.frame_cache.clear()
-    ds.item_cache.clear()
+    ds.cache.clear()
     cold = run(loader)  # decode-bound pass (page cache warm, like epoch 2+)
     warm = max(run(loader), run(loader))  # item-cache steady state
-    return cold, warm, cold * S
+
+    # persistent frame store: first pass populates (or reuses a prior
+    # bench's store), then a RAM-cold pass = every later run's epoch 1
+    ds2 = VideoClipDataset(tracklets, disk_cache=root + "_fstore", **ds_args)
+    loader2 = ClipLoader(ds2, batch_size=batch, num_workers=1)
+    run(loader2)  # populate/verify the store
+    ds2.cache.clear()
+    disk_cold = run(loader2)
+    ds2.disk_cache.close()
+    return cold, disk_cold, warm, cold * S
 
 
 def main():
@@ -200,8 +212,14 @@ def main():
     train_clips_per_sec = TB / train_step_s
 
     # ---- host input pipeline (real ClipLoader over materialized JPEGs) ----
-    host_cold, host_warm, imgs_per_core = bench_host_pipeline(S=S, H=H, W=W)
-    e2e_cold = min(host_cold, clips_per_sec)
+    host_decode, host_disk_cold, host_warm, imgs_per_core = bench_host_pipeline(
+        S=S, H=H, W=W
+    )
+    # cold start = fresh process on a machine with the persistent frame
+    # store populated (the shipped pipeline config); the first-ever run on
+    # a machine is decode-bound and reported separately
+    e2e_cold = min(host_disk_cold, clips_per_sec)
+    e2e_first_ever = min(host_decode, clips_per_sec)
     e2e_warm = min(host_warm, clips_per_sec)
 
     result = {
@@ -212,7 +230,9 @@ def main():
         "eval_e2e_clips_per_sec": round(e2e_warm, 1),
         "e2e_vs_baseline": round(e2e_warm / BASELINE_CLIPS_PER_SEC, 3),
         "eval_e2e_cold_clips_per_sec": round(e2e_cold, 1),
-        "host_pipeline_cold_clips_per_sec": round(host_cold, 1),
+        "eval_e2e_first_ever_clips_per_sec": round(e2e_first_ever, 1),
+        "host_pipeline_diskcache_clips_per_sec": round(host_disk_cold, 1),
+        "host_pipeline_decode_clips_per_sec": round(host_decode, 1),
         "host_pipeline_warm_clips_per_sec": round(host_warm, 1),
         "host_decode_imgs_per_sec_per_core": round(imgs_per_core, 0),
         "host_decode_per_core_vs_baseline": round(

@@ -16,6 +16,8 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -161,6 +163,82 @@ void evaluate_market1501_c(const float* distmat, const int64_t* q_pids,
       out_ap[q] = float(prec_sum / double(matches));
       for (int64_t r = std::min(first_match_rank, max_rank); r < max_rank; ++r)
         cmc[r] = 1.0f;
+    }
+  }
+}
+
+// cuhk03 protocol, pass 1 (deterministic): per query, sort the gallery,
+// drop same-pid+same-cam entries, compute the standard AP over the full
+// kept ranking, and emit the pid-GROUP structure of the kept list in
+// first-appearance order (the order `defaultdict(list)` iteration yields
+// in the reference, rank.py:59-61). The caller performs the protocol's
+// 10x single-gallery-shot draws itself — one np.random draw per (query,
+// repeat, group), replaying the reference's exact RNG stream — and only
+// needs, per draw, the group's kept-slot list: group g of query q spans
+// group_slots[q, group_off[g] : group_off[g] + group_sizes[q, g]].
+//
+// out_own_group[q] = index of the query-pid group (the only group whose
+// slots are matches), -1 for invalid queries. CMC assembly from the draws
+// is O(ngroups) per repeat in the caller: the masked CMC is a step
+// function starting at the own chosen slot's rank among all chosen slots.
+void cuhk03_prepare_c(const float* distmat, const int64_t* q_pids,
+                      const int64_t* g_pids, const int64_t* q_camids,
+                      const int64_t* g_camids, int64_t num_q, int64_t num_g,
+                      float* out_ap /* (Q,) */, uint8_t* out_valid /* (Q,) */,
+                      int32_t* out_ngroups /* (Q,) */,
+                      int32_t* out_own_group /* (Q,) */,
+                      int32_t* group_sizes /* (Q, G) */,
+                      int32_t* group_slots /* (Q, G) */) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> order;
+    std::vector<std::vector<int32_t>> groups;
+    std::unordered_map<int64_t, int32_t> pid_to_gid;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < num_q; ++q) {
+      const float* row = distmat + q * num_g;
+      const int64_t qp = q_pids[q];
+      const int64_t qc = q_camids[q];
+      argsort_row(row, num_g, order);
+
+      groups.clear();
+      pid_to_gid.clear();
+      int32_t own = -1;
+      int64_t kept = 0, matches = 0;
+      double prec_sum = 0.0;
+      for (int64_t n = 0; n < num_g; ++n) {
+        const int64_t g = order[n];
+        const bool match = g_pids[g] == qp;
+        if (match && g_camids[g] == qc) continue;  // removed entry
+        // group lookup by pid, first-appearance order
+        auto it = pid_to_gid.find(g_pids[g]);
+        int32_t gid;
+        if (it == pid_to_gid.end()) {
+          gid = static_cast<int32_t>(groups.size());
+          pid_to_gid.emplace(g_pids[g], gid);
+          groups.emplace_back();
+          if (match) own = gid;
+        } else {
+          gid = it->second;
+        }
+        groups[gid].push_back(static_cast<int32_t>(kept));
+        ++kept;
+        if (match) {
+          ++matches;
+          prec_sum += double(matches) / double(kept);
+        }
+      }
+      out_valid[q] = matches > 0 ? 1 : 0;
+      out_ap[q] = matches > 0 ? float(prec_sum / double(matches)) : 0.0f;
+      out_own_group[q] = own;
+      out_ngroups[q] = static_cast<int32_t>(groups.size());
+      int32_t* sizes = group_sizes + q * num_g;
+      int32_t* slots = group_slots + q * num_g;
+      int64_t off = 0;
+      for (size_t gi = 0; gi < groups.size(); ++gi) {
+        sizes[gi] = static_cast<int32_t>(groups[gi].size());
+        for (int32_t s : groups[gi]) slots[off++] = s;
+      }
     }
   }
 }

@@ -1,0 +1,265 @@
+"""Host cache tests: byte-capped LRU, persistent frame store, and their
+wiring through host_decode_resize / VideoClipDataset / ClipLoader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from agrl_tpu.data.cache import BoundedCache, FrameDiskCache, estimate_cache_gb
+from agrl_tpu.data.transforms import host_decode_resize
+
+
+def _frame(seed, h=8, w=6):
+    return (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(np.uint8)
+
+
+class TestBoundedCache:
+    def test_cap_honored_with_lru_eviction(self):
+        item_bytes = 1000 + 64  # payload + per-array overhead
+        cache = BoundedCache(max_bytes=3 * item_bytes)
+        for i in range(5):
+            cache[f"k{i}"] = np.zeros(1000, np.uint8)
+        assert cache.nbytes <= cache.max_bytes
+        assert len(cache) == 3
+        assert cache.evictions == 2
+        # oldest two evicted, newest three retained
+        assert cache.get("k0") is None and cache.get("k1") is None
+        assert cache.get("k4") is not None
+
+    def test_get_refreshes_recency(self):
+        item_bytes = 1000 + 64
+        cache = BoundedCache(max_bytes=2 * item_bytes)
+        cache["a"] = np.zeros(1000, np.uint8)
+        cache["b"] = np.zeros(1000, np.uint8)
+        assert cache.get("a") is not None  # refresh a
+        cache["c"] = np.zeros(1000, np.uint8)  # evicts b, not a
+        assert cache.get("a") is not None
+        assert cache.get("b") is None
+
+    def test_oversized_value_not_stored(self):
+        cache = BoundedCache(max_bytes=100)
+        cache["big"] = np.zeros(10_000, np.uint8)
+        assert cache.get("big") is None and cache.nbytes == 0
+
+    def test_unbounded_default(self):
+        cache = BoundedCache()
+        for i in range(100):
+            cache[i] = np.zeros(1000, np.uint8)
+        assert len(cache) == 100 and cache.evictions == 0
+
+    def test_tuple_values_accounted(self):
+        cache = BoundedCache(max_bytes=10_000)
+        img = np.zeros((10, 10, 3), np.uint8)
+        cache["x"] = (img, (10, 10))
+        assert cache.nbytes >= img.nbytes
+        got = cache.get("x")
+        assert got[1] == (10, 10)
+
+    def test_overwrite_replaces_accounting(self):
+        cache = BoundedCache(max_bytes=10_000)
+        cache["x"] = np.zeros(1000, np.uint8)
+        n1 = cache.nbytes
+        cache["x"] = np.zeros(2000, np.uint8)
+        assert cache.nbytes == n1 + 1000
+        assert len(cache) == 1
+
+
+class TestFrameDiskCache:
+    def test_roundtrip_and_persistence(self, tmp_path):
+        d = str(tmp_path / "store")
+        store = FrameDiskCache(d, 8, 6)
+        img = _frame(0)
+        store.put("/a/b.jpg", img, (64, 128))
+        got = store.get("/a/b.jpg")
+        np.testing.assert_array_equal(got[0], img)
+        assert got[1] == (64, 128)
+        assert store.get("/missing.jpg") is None
+        store.close()
+
+        # a fresh instance (new process) sees the same records
+        store2 = FrameDiskCache(d, 8, 6)
+        assert len(store2) == 1
+        got2 = store2.get("/a/b.jpg")
+        np.testing.assert_array_equal(got2[0], img)
+        store2.close()
+
+    def test_partial_trailing_record_dropped(self, tmp_path):
+        d = str(tmp_path / "store")
+        store = FrameDiskCache(d, 8, 6)
+        store.put("one.jpg", _frame(1), (6, 8))
+        store.put("two.jpg", _frame(2), (6, 8))
+        store.close()
+        # simulate a crash mid-append: truncate the bin inside record 2
+        bin_path = os.path.join(d, "frames_8x6.bin")
+        size = os.path.getsize(bin_path)
+        with open(bin_path, "r+b") as f:
+            f.truncate(size - 10)
+        store2 = FrameDiskCache(d, 8, 6)
+        assert len(store2) == 1
+        np.testing.assert_array_equal(store2.get("one.jpg")[0], _frame(1))
+        assert store2.get("two.jpg") is None
+        # appending after recovery lands in the right slot
+        store2.put("three.jpg", _frame(3), (6, 8))
+        np.testing.assert_array_equal(store2.get("three.jpg")[0], _frame(3))
+        store2.close()
+
+    def test_duplicate_put_is_noop(self, tmp_path):
+        store = FrameDiskCache(str(tmp_path / "s"), 8, 6)
+        store.put("p.jpg", _frame(4), (6, 8))
+        store.put("p.jpg", _frame(5), (6, 8))  # ignored
+        np.testing.assert_array_equal(store.get("p.jpg")[0], _frame(4))
+        assert len(store) == 1
+        store.close()
+
+    def test_separate_stores_per_resolution(self, tmp_path):
+        d = str(tmp_path / "s")
+        a = FrameDiskCache(d, 8, 6)
+        b = FrameDiskCache(d, 16, 12)
+        a.put("p.jpg", _frame(6, 8, 6), (6, 8))
+        assert b.get("p.jpg") is None
+        a.close()
+        b.close()
+
+
+class TestDecodeIntegration:
+    def _write_jpeg(self, tmp_path, name="x.jpg", h=32, w=16, seed=1):
+        img = Image.fromarray(_frame(seed, h, w))
+        p = str(tmp_path / name)
+        img.save(p)
+        return p
+
+    def test_disk_cache_serves_after_file_removed(self, tmp_path):
+        p = self._write_jpeg(tmp_path)
+        store = FrameDiskCache(str(tmp_path / "store"), 32, 16)
+        first, sizes1 = host_decode_resize([p], 32, 16, disk_cache=store)
+        os.remove(p)  # persisted -> decode must not be needed again
+        second, sizes2 = host_decode_resize([p], 32, 16, disk_cache=store)
+        np.testing.assert_array_equal(first, second)
+        assert list(map(tuple, sizes1)) == list(map(tuple, sizes2))
+        store.close()
+
+    def test_disk_hit_populates_ram_cache(self, tmp_path):
+        p = self._write_jpeg(tmp_path)
+        store = FrameDiskCache(str(tmp_path / "store"), 32, 16)
+        host_decode_resize([p], 32, 16, disk_cache=store)
+        ram = BoundedCache()
+        host_decode_resize([p], 32, 16, cache=ram, disk_cache=store)
+        assert ram.get(p) is not None
+        store.close()
+
+    def test_bounded_cache_as_ram_cache(self, tmp_path):
+        p = self._write_jpeg(tmp_path)
+        ram = BoundedCache(max_bytes=10**6)
+        first, _ = host_decode_resize([p], 32, 16, cache=ram)
+        os.remove(p)
+        second, _ = host_decode_resize([p], 32, 16, cache=ram)
+        np.testing.assert_array_equal(first, second)
+
+
+class TestDatasetWiring:
+    def _make_tracklets(self, tmp_path, n_track=3, frames=4, h=32, w=16):
+        tracklets = []
+        k = 0
+        for t in range(n_track):
+            paths = []
+            for f in range(frames):
+                img = Image.fromarray(_frame(k, h, w))
+                p = str(tmp_path / f"t{t}_f{f}.jpg")
+                img.save(p)
+                paths.append(p)
+                k += 1
+            tracklets.append((tuple(paths), t, 0))
+        return tracklets
+
+    def test_dataset_cache_cap_honored(self, tmp_path):
+        from agrl_tpu.data.loader import VideoClipDataset
+
+        tracklets = self._make_tracklets(tmp_path)
+        cap = 2 * (32 * 16 * 3 + 200)
+        ds = VideoClipDataset(
+            tracklets, seq_len=4, sample="random", height=32, width=16,
+            enable_pose=False, cache_frames=True, cache_bytes=cap,
+        )
+        rng = np.random.RandomState(0)
+        for i in range(len(tracklets)):
+            ds.get_item(i, rng)
+        assert ds.cache.nbytes <= cap
+        assert ds.cache.evictions > 0
+
+    def test_shared_cache_across_datasets(self, tmp_path):
+        from agrl_tpu.data.loader import VideoClipDataset
+
+        tracklets = self._make_tracklets(tmp_path)
+        shared = BoundedCache(max_bytes=10**7)
+        common = dict(seq_len=4, height=32, width=16, enable_pose=False,
+                      cache_frames=True, cache=shared)
+        ds_a = VideoClipDataset(tracklets[:2], sample="evenly", **common)
+        ds_b = VideoClipDataset(tracklets[2:], sample="evenly", **common)
+        ds_a.get_item(0)
+        ds_b.get_item(0)
+        assert ds_a.cache is shared and ds_b.cache is shared
+        # item keys are namespaced per dataset: index 0 of each coexists
+        assert shared.get((ds_a._item_tag, 0)) is not None
+        assert shared.get((ds_b._item_tag, 0)) is not None
+
+    def test_dataset_disk_cache_survives_instances(self, tmp_path):
+        from agrl_tpu.data.loader import VideoClipDataset
+
+        tracklets = self._make_tracklets(tmp_path)
+        store_dir = str(tmp_path / "store")
+        args = dict(seq_len=4, sample="evenly", height=32, width=16,
+                    enable_pose=False, disk_cache=store_dir)
+        ds = VideoClipDataset(tracklets, **args)
+        items = [ds.get_item(i) for i in range(len(tracklets))]
+        ds.disk_cache.close()
+        for paths, _, _ in tracklets:  # delete every JPEG
+            for p in paths:
+                os.remove(p)
+        ds2 = VideoClipDataset(tracklets, **args)
+        items2 = [ds2.get_item(i) for i in range(len(tracklets))]
+        for (a, *_), (b, *_) in zip(items, items2):
+            np.testing.assert_array_equal(a, b)
+        ds2.disk_cache.close()
+
+    def test_loader_resolves_decode_threads(self, tmp_path):
+        from agrl_tpu.data.loader import ClipLoader, VideoClipDataset
+
+        tracklets = self._make_tracklets(tmp_path, n_track=2)
+        ds = VideoClipDataset(
+            tracklets, seq_len=4, sample="evenly", height=32, width=16,
+            enable_pose=False,
+        )
+        assert ds.decode_threads is None
+        ClipLoader(ds, batch_size=2, num_workers=1)
+        # single-worker loading hands the core budget to the decoder's team
+        assert ds.decode_threads == 0
+
+        ds2 = VideoClipDataset(
+            tracklets, seq_len=4, sample="evenly", height=32, width=16,
+            enable_pose=False,
+        )
+        ClipLoader(ds2, batch_size=2, num_workers=4)
+        assert ds2.decode_threads == 1
+
+        # an explicit setting is never overridden
+        ds3 = VideoClipDataset(
+            tracklets, seq_len=4, sample="evenly", height=32, width=16,
+            enable_pose=False, decode_threads=2,
+        )
+        ClipLoader(ds3, batch_size=2, num_workers=1)
+        assert ds3.decode_threads == 2
+
+
+def test_estimate_cache_gb():
+    tracklets = [
+        (("a.jpg", "b.jpg"), 0, 0),
+        (("b.jpg", "c.jpg"), 1, 0),  # b.jpg shared -> 3 distinct
+    ]
+    gb = estimate_cache_gb([tracklets], 256, 128)
+    assert gb == pytest.approx(3 * 256 * 128 * 3 / 1e9)
+    # image datasets carry bare string paths
+    imgs = [("d.jpg", 0, 0)]
+    gb2 = estimate_cache_gb([tracklets, imgs], 256, 128)
+    assert gb2 == pytest.approx(4 * 256 * 128 * 3 / 1e9)

@@ -174,25 +174,33 @@ def test_bf16_dtype_reaches_whole_vmgn_family():
 
 
 def test_batchnorm_survives_constant_channels():
-    """Regression for a real NaN seen in mixed-precision training on TPU:
-    flax's default fast variance E[x^2] - E[x]^2 of a (numerically)
-    constant channel can come out NEGATIVE beyond epsilon (e.g. a channel
-    bf16-rounding collapsed to one value), and rsqrt(var + eps) goes NaN.
-    Our shared BatchNorm uses the two-pass variance, nonnegative by
-    construction."""
+    """Constant-channel BN finiteness guard (a NaN hazard on TPU): raw
+    one-pass variance E[x^2] - E[x]^2 of a (numerically) constant channel
+    can come out NEGATIVE beyond epsilon (e.g. a channel bf16-rounding
+    collapsed to one value), and rsqrt(var + eps) would go NaN. The shared
+    BatchNorm relies on flax's _compute_stats clamp
+    (var = max(0, E[x^2] - E[x]^2), f32 statistics) — this test pins that
+    the guarantee holds for whatever variance path backbone.BatchNorm is
+    configured with, in f32 AND bf16, batch stats AND the running stats
+    they update."""
     import numpy as np
 
     from agrl_tpu.models.backbone import BatchNorm
 
-    # 123.456f repeated: f32 fast variance is ~ -0.018 < -eps
+    # 123.456f repeated: raw one-pass f32 variance is ~ -0.018 < -eps
     x = jnp.full((640, 4), jnp.float32(123.456))
     fast = jnp.mean(x * x, axis=0) - jnp.mean(x, axis=0) ** 2
     assert float(fast.min()) < -1e-5  # the hazard is real on this input
 
-    bn = BatchNorm(use_running_average=False)
-    v = bn.init(jax.random.PRNGKey(0), x)
-    y, _ = bn.apply(v, x, mutable=["batch_stats"])
-    assert np.isfinite(np.asarray(y)).all()
+    for dtype in (None, jnp.bfloat16):
+        bn = BatchNorm(use_running_average=False, dtype=dtype)
+        xd = x if dtype is None else x.astype(dtype)
+        v = bn.init(jax.random.PRNGKey(0), xd)
+        y, mut = bn.apply(v, xd, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(y, np.float32)).all()
+        # the running variance must stay nonnegative too (it feeds eval rsqrt)
+        ra_var = np.asarray(mut["batch_stats"]["var"])
+        assert (ra_var >= 0).all()
 
 
 def test_l2_affinity_gradients_finite_at_large_distances():

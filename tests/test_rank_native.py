@@ -85,3 +85,72 @@ def test_mars_native_distractor_query_matches_oracle():
     cmc_o, map_o = evaluate_mars(dist, qp, gp, qc, gc, 50)
     np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-6)
     np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5])
+def test_cuhk03_native_draw_for_draw_vs_numpy(seed):
+    """The native cuhk03 path must consume the global np.random stream
+    exactly like the numpy path (which is itself draw-for-draw with the
+    imported reference, tests/test_reference_parity.py) -> identical
+    seeding gives bit-equal CMC, and the deterministic mAP matches."""
+    from agrl_tpu.metrics.rank import eval_cuhk03
+
+    rng = np.random.RandomState(seed)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=15, num_g=120, num_pids=12)
+    np.random.seed(777 + seed)
+    cmc_n, map_n = rank_native.evaluate_cuhk03_native(dist, qp, gp, qc, gc, 10)
+    np.random.seed(777 + seed)
+    cmc_o, map_o = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=10)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-7)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+def test_cuhk03_native_pad_with_last_below_group_count():
+    """max_rank above the per-query pid-group count: rows extend with the
+    final CMC value (=1), matching the numpy path's padding."""
+    from agrl_tpu.metrics.rank import eval_cuhk03
+
+    rng = np.random.RandomState(3)
+    # 4 pids total -> ~4 kept groups per query, max_rank 20 >> groups
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=8, num_g=30, num_pids=4)
+    np.random.seed(42)
+    cmc_n, map_n = rank_native.evaluate_cuhk03_native(dist, qp, gp, qc, gc, 20)
+    np.random.seed(42)
+    cmc_o, map_o = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=20)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-7)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+    assert cmc_n[-1] == pytest.approx(1.0)
+
+
+def test_cuhk03_native_with_invalid_queries():
+    """Queries whose pid never appears in the kept gallery are skipped
+    WITHOUT consuming any draws (reference `continue` before sampling)."""
+    from agrl_tpu.metrics.rank import eval_cuhk03
+
+    rng = np.random.RandomState(9)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=10, num_g=60, num_pids=8)
+    qp = qp.copy()
+    qp[::3] = 999  # never in gallery -> invalid
+    np.random.seed(5)
+    cmc_n, map_n = rank_native.evaluate_cuhk03_native(dist, qp, gp, qc, gc, 10)
+    np.random.seed(5)
+    cmc_o, map_o = eval_cuhk03(dist, qp, gp, qc, gc, max_rank=10)
+    np.testing.assert_allclose(cmc_n, cmc_o, atol=1e-7)
+    np.testing.assert_allclose(map_n, map_o, atol=1e-6)
+
+
+def test_dispatcher_routes_cuhk03_native():
+    from agrl_tpu.metrics.rank import evaluate_rank
+
+    rng = np.random.RandomState(0)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=10, num_g=80, num_pids=8)
+    np.random.seed(11)
+    cmc_a, map_a = evaluate_rank(
+        dist, qp, gp, qc, gc, use_metric_cuhk03=True, use_native=True
+    )
+    np.random.seed(11)
+    cmc_b, map_b = evaluate_rank(
+        dist, qp, gp, qc, gc, use_metric_cuhk03=True, use_native=False
+    )
+    np.testing.assert_allclose(cmc_a, cmc_b, atol=1e-7)
+    np.testing.assert_allclose(map_a, map_b, atol=1e-6)

@@ -218,6 +218,27 @@ def test_eval_cuhk03_vs_reference(ref_rank, seed, monkeypatch):
     np.testing.assert_allclose(map_v, map_r, atol=1e-12)
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_eval_cuhk03_native_vs_reference(ref_rank, seed, monkeypatch):
+    """The NATIVE cuhk03 path (C++ structure pass + exact np.random stream
+    replay for the single-gallery-shot draws) must be bit-equal to the
+    imported reference under identical seeding, like the numpy path."""
+    from agrl_tpu.metrics import rank_native
+
+    if not rank_native.IS_NATIVE_AVAILABLE:
+        pytest.skip("librank_eval.so not built")
+    if not hasattr(np, "bool"):
+        monkeypatch.setattr(np, "bool", np.bool_, raising=False)
+
+    dist, qp, gp, qc, gc = _problem(seed, num_q=12, num_g=80, num_pids=10)
+    np.random.seed(1234)
+    cmc_r, map_r = ref_rank.eval_cuhk03(dist, qp, gp, qc, gc, 5)
+    np.random.seed(1234)
+    cmc_v, map_v = rank_native.evaluate_cuhk03_native(dist, qp, gp, qc, gc, 5)
+    np.testing.assert_allclose(cmc_v, cmc_r, atol=1e-6)
+    np.testing.assert_allclose(map_v, map_r, atol=1e-6)
+
+
 def _convert_and_merge(fmodel, tmodel, expected_skips=()):
     """Convert tmodel's state dict into fmodel variables; only paths whose
     torch name starts with an expected_skips prefix may fail to map."""
