@@ -47,8 +47,7 @@ class Evaluator:
         # JAX backend at import time, defeating late platform selection
         zero_key = jax.random.PRNGKey(0)  # eval preprocessing is deterministic
 
-        def fwd(v, x, a):
-            x = preprocess_clips(x, zero_key)
+        def _cast(v, x, a):
             if bf16:
                 # bf16 weights/activations: measured 3e-4 relative feature
                 # error vs f32 — below ranking noise; ~1.5x faster on v5e
@@ -60,10 +59,26 @@ class Evaluator:
                 )
                 x = x.astype(jnp.bfloat16)
                 a = a.astype(jnp.bfloat16)
+            return v, x, a
+
+        def fwd(v, x, a):
+            v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
             out = self.model.apply(v, x, a, train=False)
             return out.astype(jnp.float32)
 
         self._fwd = jax.jit(fwd)
+
+        # masked forward for the bucketed `--test-sample all` path: pads
+        # are excluded exactly inside the model (models/vmgn.py)
+        if getattr(model, "supports_frame_mask", False):
+            def fwd_masked(v, x, a, fmask):
+                v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
+                out = self.model.apply(v, x, a, train=False, frame_mask=fmask)
+                return out.astype(jnp.float32)
+
+            self._fwd_masked = jax.jit(fwd_masked)
+        else:
+            self._fwd_masked = None
 
     def _make_fwd_runner(self, variables, mesh):
         """Batch-sharded forward over the mesh's 'dp' axis (multi-chip
@@ -115,6 +130,10 @@ class Evaluator:
         extraction)."""
         if self.test_sample in ("dense", "skipdense"):
             return self._extract_dense_packed(variables, loader, name, mesh=mesh)
+        if self.test_sample == "all" and self._fwd_masked is not None:
+            return self._extract_all_bucketed(
+                variables, loader, name, keep_on_device=keep_on_device
+            )
         run_fwd = self._make_fwd_runner(variables, mesh)
         feats, pids, camids = [], [], []
         batch_time = AverageMeter()
@@ -130,6 +149,71 @@ class Evaluator:
         if not feats:
             raise ValueError(f"{name} loader yielded no tracklets")
         features = (jnp.concatenate if keep_on_device else np.concatenate)(feats, axis=0)
+        print(
+            f"Extracted features for {name} set, obtained "
+            f"{features.shape[0]}-by-{features.shape[1]} matrix"
+        )
+        return features, np.asarray(pids), np.asarray(camids), batch_time
+
+    @staticmethod
+    def _bucket_len(num: int, lo: int = 8) -> int:
+        """Smallest power-of-two >= num (floored at `lo`): `--test-sample
+        all` pads tracklets to these lengths so MARS-shaped eval compiles
+        O(log max_len) XLA programs instead of one per distinct length."""
+        b = lo
+        while b < num:
+            b *= 2
+        return b
+
+    def _extract_all_bucketed(
+        self, variables, loader, name: str, keep_on_device: bool = False
+    ):
+        """`all`-sampling extraction with fixed-shape length bucketing.
+
+        The reference runs whole tracklets at their native length
+        (dataset_loader.py:115-119), which under XLA would compile one
+        program per distinct tracklet length (hundreds on MARS). Here each
+        tracklet pads to the next power-of-two frame count with a frame
+        mask; the model excludes padding exactly (masked global mean,
+        masked graph row-normalization, masked attention — see
+        models/vmgn.py), so features equal the unpadded forward while only
+        O(log) shapes ever compile. Runs on the default device (batch is a
+        single tracklet — nothing to shard)."""
+        total_split = self.model.total_split
+        feats, pids, camids = [], [], []
+        batch_time = AverageMeter()
+        for imgs, bpids, bcamids, adjs in loader:
+            for bi in range(imgs.shape[0]):
+                clip = imgs[bi]  # (num, H, W, 3)
+                adj = adjs[bi]  # (V, V), V = num * total_split
+                num = clip.shape[0]
+                t0 = time.time()
+                Sp = self._bucket_len(num)
+                if Sp > num:
+                    pad = Sp - num
+                    clip = np.concatenate(
+                        [clip, np.zeros((pad, *clip.shape[1:]), clip.dtype)]
+                    )
+                    Vp = Sp * total_split
+                    adj_p = np.zeros((Vp, Vp), adj.dtype)
+                    adj_p[: adj.shape[0], : adj.shape[1]] = adj
+                    adj = adj_p
+                fmask = np.zeros(Sp, np.float32)
+                fmask[:num] = 1.0
+                f = self._fwd_masked(
+                    variables, clip[None], adj[None], fmask[None]
+                )
+                if not keep_on_device:
+                    f = np.asarray(f)
+                batch_time.update(time.time() - t0)
+                feats.append(f)
+                pids.append(int(np.asarray(bpids)[bi]))
+                camids.append(int(np.asarray(bcamids)[bi]))
+        if not feats:
+            raise ValueError(f"{name} loader yielded no tracklets")
+        features = (jnp.concatenate if keep_on_device else np.concatenate)(
+            feats, axis=0
+        )
         print(
             f"Extracted features for {name} set, obtained "
             f"{features.shape[0]}-by-{features.shape[1]} matrix"

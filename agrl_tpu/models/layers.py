@@ -97,14 +97,27 @@ class GraphConvLayer(nn.Module):
     residual: str = "convex"  # 'convex' | 'additive'
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        """x: (B, V, C_in); adj: (B, V, V) pose graph. Returns (B, V, C_out)."""
+    def __call__(
+        self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool,
+        vertex_mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """x: (B, V, C_in); adj: (B, V, V) pose graph. Returns (B, V, C_out).
+
+        `vertex_mask` (B, V) of 0/1 marks PADDING vertices (0): both the
+        pose adjacency and the learned affinity are zeroed to/from them
+        BEFORE row normalization, so real vertices aggregate exactly the
+        neighbors an unpadded run would see (used by the fixed-shape
+        bucketing of `--test-sample all`; eval-mode BN is per-element, so
+        padded rows never leak into real ones)."""
         assert self.use_pose or self.learn_graph
         h = nn.Dense(
             self.out_features, use_bias=False, kernel_init=graph_linear_init, name="linear"
         )(x)
         B, V, C = h.shape
         mask = 1.0 - jnp.eye(V) if self.mask_diag else None
+        if vertex_mask is not None:
+            pair_mask = vertex_mask[:, :, None] * vertex_mask[:, None, :]
+            mask = pair_mask if mask is None else mask * pair_mask
 
         if self.use_pose:
             if mask is not None:
@@ -199,11 +212,17 @@ class BNNeck(nn.Module):
         )(x)
 
 
-def temporal_attention(feat: jnp.ndarray) -> jnp.ndarray:
+def temporal_attention(
+    feat: jnp.ndarray, frame_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Norm-driven temporal fusion (vmgn.py:270-278).
 
     feat: (B, S, P, C) -> (B, P, C); weights = L1-normalized (over S)
-    per-(frame, part) L2 feature norms."""
+    per-(frame, part) L2 feature norms. `frame_mask` (B, S) zeroes the
+    weights of padding frames before normalization, so the fused feature
+    equals an unpadded run's (bucketed `--test-sample all`)."""
     att = jnp.linalg.norm(feat, axis=3, keepdims=True)  # (B,S,P,1)
+    if frame_mask is not None:
+        att = att * frame_mask[:, :, None, None]
     att = l1_normalize(att, axis=1)
     return jnp.sum(feat * att, axis=1)

@@ -79,9 +79,25 @@ class VMGN(nn.Module):
     def total_split(self):
         return sum(self.total_split_list)
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
-        """x: (B, S, H, W, 3) float; adj: (B, V, V), V = S * total_split."""
+    def __call__(
+        self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
+        """x: (B, S, H, W, 3) float; adj: (B, V, V), V = S * total_split.
+
+        `frame_mask` (B, S) of 0/1 (eval only): frames marked 0 are
+        PADDING — excluded exactly from the global mean, the graph
+        row-normalizations and the attention fusion, so a clip padded to a
+        bucketed length yields the same feature as the unpadded clip (the
+        `--test-sample all` bucketing path; the reference runs that mode
+        with per-length dynamic shapes instead, dataset_loader.py:115-119).
+        Eval-mode BN uses running stats (per-element), so padded rows
+        cannot leak into real ones."""
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
         if self.dtype is not None:
@@ -99,9 +115,21 @@ class VMGN(nn.Module):
             x4_1 = x4_1.astype(jnp.float32)
             x4_2 = x4_2.astype(jnp.float32)
         _, h, w, c = x4_1.shape
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)  # (B, S)
+            vmask = jnp.repeat(fm, self.total_split, axis=1)  # (B, V) frame-major
+        else:
+            fm = vmask = None
 
         # ---- global branch ----
-        g_f = x4_1.reshape(B, S, h, w, c).mean(axis=(1, 2, 3))  # (B, c)
+        if fm is None:
+            g_f = x4_1.reshape(B, S, h, w, c).mean(axis=(1, 2, 3))  # (B, c)
+        else:  # masked mean over real frames only
+            g_sum = (x4_1.reshape(B, S, h, w, c) * fm[:, :, None, None, None]).sum(
+                axis=(1, 2, 3)
+            )
+            g_f = g_sum / (fm.sum(axis=1)[:, None] * (h * w))
         global_bottleneck = BNNeck(name="global_bottleneck")
         g_bn = global_bottleneck(g_f, train=train)
 
@@ -123,7 +151,7 @@ class VMGN(nn.Module):
                 learn_graph=self.learn_graph,
                 dist_method=self.dist_method,
                 name=f"graph_layer_{i}",
-            )(f, adj, train=train)
+            )(f, adj, train=train, vertex_mask=vmask)
         f = f.reshape(B, S, self.total_split, c)
 
         att_bottleneck = BNNeck(name="att_bottleneck")
@@ -131,7 +159,7 @@ class VMGN(nn.Module):
             self.num_classes, use_bias=False, kernel_init=classifier_init, name="att_classifier"
         )
 
-        f_fuse = temporal_attention(f)  # (B, total_split, c)
+        f_fuse = temporal_attention(f, frame_mask=fm)  # (B, total_split, c)
         att_f = f_fuse.mean(axis=1)  # (B, c)
         att_bn = att_bottleneck(att_f, train=train)
 

@@ -1,0 +1,152 @@
+"""Fixed-shape bucketing for `--test-sample all` eval.
+
+The reference runs whole tracklets at native length
+(dataset_loader.py:115-119); under XLA that is one compilation per
+distinct length. The bucketed path pads to power-of-two frame counts with
+a frame mask the model honors exactly — these tests pin (a) feature
+equivalence vs the unbucketed forward and (b) the O(log) compile count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agrl_tpu.engine.evaluator import Evaluator
+from agrl_tpu.models import init_params
+from agrl_tpu.models.vmgn import VMGN
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = VMGN(num_classes=4, layers=(1, 1, 1, 1), num_split=4,
+                 pyramid_part=True, num_gb=2)
+    variables = init_params(
+        model, jax.random.PRNGKey(0), seq_len=4, height=32, width=16, batch_size=2
+    )
+    return model, variables
+
+
+def _tracklet_batches(model, lengths, H=32, W=16, seed=0):
+    """'all'-sampling loader batches: one tracklet per batch,
+    imgs (1, num, H, W, 3) uint8 + adj (1, V, V) with V = num*split."""
+    r = np.random.RandomState(seed)
+    out = []
+    for t, num in enumerate(lengths):
+        V = num * model.total_split
+        imgs = (r.rand(1, num, H, W, 3) * 255).astype(np.uint8)
+        adj = (r.rand(1, V, V) > 0.5).astype(np.float32)
+        out.append((imgs, np.asarray([t % 3]), np.asarray([t % 2]), adj))
+    return out
+
+
+def test_bucket_len():
+    assert Evaluator._bucket_len(1) == 8
+    assert Evaluator._bucket_len(8) == 8
+    assert Evaluator._bucket_len(9) == 16
+    assert Evaluator._bucket_len(33) == 64
+    assert Evaluator._bucket_len(1000) == 1024
+
+
+def test_masked_forward_equals_unpadded(tiny):
+    """Model-level: padding frames + frame_mask reproduces the unpadded
+    feature to numerical precision (masked mean / graph rows / attention)."""
+    model, variables = tiny
+    r = np.random.RandomState(1)
+    for num, Sp in [(3, 8), (5, 8), (11, 16)]:
+        V, Vp = num * model.total_split, Sp * model.total_split
+        x = r.rand(2, num, 32, 16, 3).astype(np.float32)
+        adj = (r.rand(2, V, V) > 0.4).astype(np.float32)
+        want = model.apply(variables, x, adj, train=False)
+
+        xp = np.zeros((2, Sp, 32, 16, 3), np.float32)
+        xp[:, :num] = x
+        adjp = np.zeros((2, Vp, Vp), np.float32)
+        adjp[:, :V, :V] = adj
+        fmask = np.zeros((2, Sp), np.float32)
+        fmask[:, :num] = 1.0
+        got = model.apply(variables, xp, adjp, train=False, frame_mask=fmask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_all_ones_mask_matches_plain_forward(tiny):
+    model, variables = tiny
+    r = np.random.RandomState(2)
+    num = 6
+    V = num * model.total_split
+    x = r.rand(1, num, 32, 16, 3).astype(np.float32)
+    adj = (r.rand(1, V, V) > 0.5).astype(np.float32)
+    plain = model.apply(variables, x, adj, train=False)
+    masked = model.apply(
+        variables, x, adj, train=False, frame_mask=np.ones((1, num), np.float32)
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(plain), atol=1e-5)
+
+
+def test_bucketed_extract_equals_unbucketed(tiny):
+    """Evaluator-level: the bucketed `all` path returns the same features,
+    pids and camids as running each tracklet unpadded."""
+    model, variables = tiny
+    lengths = [3, 8, 9, 13, 4]
+    batches = _tracklet_batches(model, lengths)
+
+    ev = Evaluator(model, test_sample="all")
+    assert ev._fwd_masked is not None
+    feats, pids, camids, _ = ev.extract(variables, batches, "query")
+
+    # ground truth: plain forward at native length through the same jit
+    for (imgs, bpid, bcam, adj), got in zip(batches, feats):
+        want = np.asarray(ev._fwd(variables, imgs, adj))[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    assert list(pids) == [t % 3 for t in range(len(lengths))]
+    assert list(camids) == [t % 2 for t in range(len(lengths))]
+
+
+def test_bucketed_compile_count(tiny):
+    """7 distinct tracklet lengths must funnel into <= 3 bucket shapes."""
+    model, variables = tiny
+    lengths = [3, 5, 7, 9, 11, 16, 17]
+    batches = _tracklet_batches(model, lengths)
+    ev = Evaluator(model, test_sample="all")
+
+    shapes = []
+    inner = ev._fwd_masked
+
+    def counting(v, x, a, m):
+        shapes.append(x.shape)
+        return inner(v, x, a, m)
+
+    ev._fwd_masked = counting
+    ev.extract(variables, batches, "query")
+    assert len(shapes) == len(lengths)
+    distinct = {s[1] for s in shapes}
+    assert distinct == {8, 16, 32}  # buckets, not native lengths
+
+
+def test_evaluate_end_to_end_all_bucketed(tiny):
+    """Full evaluate() through the device-ranking path with 'all'."""
+    model, variables = tiny
+    ev = Evaluator(model, test_sample="all")
+    rank1, mAP = ev.evaluate(
+        variables,
+        _tracklet_batches(model, [3, 9, 5], seed=3),
+        _tracklet_batches(model, [4, 12, 6, 8], seed=4),
+        dist_metric="cosine",
+        metric_protocol="mars",
+    )
+    assert np.isfinite(rank1) and np.isfinite(mAP)
+
+
+def test_unsupported_model_falls_back(tiny):
+    """Models without frame-mask support keep the plain dynamic-shape
+    path (no masked jit is built)."""
+    model, variables = tiny
+
+    class NoMask:
+        total_split = model.total_split
+
+        def apply(self, *a, **k):
+            return model.apply(*a, **k)
+
+    ev = Evaluator(NoMask(), test_sample="all")
+    assert ev._fwd_masked is None
