@@ -89,33 +89,64 @@ class BoundedCache:
 
 
 class FrameDiskCache:
-    """Persistent decoded-frame store: `frames_{H}x{W}.bin` holds
-    fixed-size records (2 int32 of original (w, h), then H*W*3 uint8 of
-    the resized RGB frame); `frames_{H}x{W}.idx` holds one image path per
-    line in record order. Lookups are `os.pread` at record offsets (no
-    shared file-position state -> safe under the loader's thread pool);
-    appends hold a lock. A partial trailing record from a crashed run is
-    ignored (the index is authoritative up to the shorter of the two
-    files)."""
+    """Persistent decoded-frame store.
+
+    Layout (version 2): `frames_{H}x{W}.bin` holds HEADERLESS fixed-size
+    records of exactly H*W*3 uint8 (the resized RGB frame) so a record IS
+    a frame — `preadv` can land contiguous runs of records straight into
+    the caller's preallocated clip array with zero intermediate copies
+    (the clip assembly copy dominated the disk-cold input pipeline
+    otherwise). `frames_{H}x{W}.idx` holds one `path\\tw\\th` line per
+    record in order (the ORIGINAL image size travels in the index).
+    A VERSION file guards the layout; an unversioned non-empty store from
+    an older build is discarded (it is a cache).
+
+    Reads are positional (`pread`/`preadv` on a shared fd — no file
+    position state, safe under the loader's thread pool); appends hold a
+    lock. A partial trailing record from a crashed run is ignored (the
+    index is authoritative up to the shorter of the two files)."""
+
+    VERSION = "2"
 
     def __init__(self, cache_dir: str, height: int, width: int):
         self.height = height
         self.width = width
-        self.frame_bytes = height * width * 3
-        self.rec_bytes = 8 + self.frame_bytes
+        self.rec_bytes = height * width * 3
         os.makedirs(cache_dir, exist_ok=True)
         self.bin_path = osp.join(cache_dir, f"frames_{height}x{width}.bin")
         self.idx_path = osp.join(cache_dir, f"frames_{height}x{width}.idx")
+        ver_path = osp.join(cache_dir, "VERSION")
         self._lock = threading.Lock()
-        self._index: dict[str, int] = {}
+
+        try:
+            with open(ver_path) as f:
+                ver = f.read().strip()
+        except OSError:
+            ver = None
+        if ver != self.VERSION:
+            for p in (self.bin_path, self.idx_path):
+                if osp.exists(p):
+                    os.remove(p)
+            with open(ver_path, "w") as f:
+                f.write(self.VERSION)
 
         open(self.bin_path, "ab").close()
         open(self.idx_path, "ab").close()
+        self._index: dict[str, int] = {}
+        self._sizes: list[tuple[int, int]] = []
         with open(self.idx_path, "r") as f:
-            paths = f.read().splitlines()
+            lines = f.read().splitlines()
         full_records = os.path.getsize(self.bin_path) // self.rec_bytes
-        n = min(len(paths), full_records)
-        self._index = {p: i for i, p in enumerate(paths[:n])}
+        n = 0
+        for line in lines[: full_records]:
+            try:
+                p, w, h = line.rsplit("\t", 2)
+                wh = (int(w), int(h))
+            except ValueError:
+                break  # malformed tail line
+            self._index[p] = n
+            self._sizes.append(wh)
+            n += 1
         self._n = n
         # data reads via pread on a shared fd; appends via buffered handles
         self._read_fd = os.open(self.bin_path, os.O_RDONLY)
@@ -135,23 +166,49 @@ class FrameDiskCache:
         raw = os.pread(self._read_fd, self.rec_bytes, i * self.rec_bytes)
         if len(raw) != self.rec_bytes:
             return None
-        w, h = np.frombuffer(raw, np.int32, count=2)
-        img = np.frombuffer(raw, np.uint8, offset=8).reshape(
-            self.height, self.width, 3
-        )
-        return img, (int(w), int(h))
+        img = np.frombuffer(raw, np.uint8).reshape(self.height, self.width, 3)
+        return img, self._sizes[i]
+
+    def read_many_into(self, paths, out: np.ndarray, rows):
+        """Read `paths[k]` into `out[rows[k]]` (each a contiguous
+        (H, W, 3) uint8 row of a batch array). Consecutive store records
+        land in ONE preadv call — clips are written in order at populate
+        time, so a clip is typically a single contiguous run. Returns a
+        list of (w, h) per path, None where the store has no record (the
+        caller decodes those; their rows are untouched)."""
+        n = len(paths)
+        recs = [self._index.get(p) for p in paths]
+        sizes: list = [None] * n
+        i = 0
+        while i < n:
+            if recs[i] is None:
+                i += 1
+                continue
+            j = i
+            while j + 1 < n and recs[j + 1] == recs[j] + 1:
+                j += 1
+            bufs = [
+                memoryview(out[rows[k]]).cast("B", shape=[self.rec_bytes])
+                for k in range(i, j + 1)
+            ]
+            got = os.preadv(self._read_fd, bufs, recs[i] * self.rec_bytes)
+            if got == (j - i + 1) * self.rec_bytes:
+                for k in range(i, j + 1):
+                    sizes[k] = self._sizes[recs[k]]
+            i = j + 1
+        return sizes
 
     def put(self, path: str, img: np.ndarray, size) -> None:
         assert img.shape == (self.height, self.width, 3) and img.dtype == np.uint8
         with self._lock:
             if path in self._index:
                 return
-            rec = np.asarray(size[:2], np.int32).tobytes() + np.ascontiguousarray(img).tobytes()
-            self._bin_append.write(rec)
+            self._bin_append.write(np.ascontiguousarray(img).tobytes())
             self._bin_append.flush()
-            self._idx_append.write(path + "\n")
+            self._idx_append.write(f"{path}\t{int(size[0])}\t{int(size[1])}\n")
             self._idx_append.flush()
             self._index[path] = self._n
+            self._sizes.append((int(size[0]), int(size[1])))
             self._n += 1
 
     def close(self):

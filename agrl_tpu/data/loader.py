@@ -195,6 +195,9 @@ class ClipLoader:
         materializes only its contiguous `batch_size/num_processes` slice of
         each batch; parallel.mesh.put_global reassembles the global batch
         from the per-host shards."""
+        from agrl_tpu.utils.hostmem import tune_malloc_for_streaming
+
+        tune_malloc_for_streaming()  # batch buffers reuse warm heap pages
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler

@@ -59,37 +59,54 @@ def host_decode_resize(
     back, so the dataset's decode cost is paid once per machine.
 
     `threads`: OpenMP width for the native decoder (0 = hardware default;
-    keep 1 when the caller already runs a decode thread pool). Lookups are
-    eviction-safe: a value fetched under a concurrent LRU cache is held
-    locally until used."""
+    keep 1 when the caller already runs a decode thread pool).
+
+    The clip array is preallocated and every source (RAM cache, disk
+    store, decoder) fills its rows in place — disk-store hits land via
+    preadv with NO intermediate per-frame arrays (the assembly copy
+    dominated the disk-backed cold pipeline otherwise)."""
     if cache is None and disk_cache is None:
         return _decode_batch(paths, height, width, threads)
 
-    held: dict = {}
-    missing: list[str] = []
-    for p in paths:
-        if p in held:
-            continue
+    n = len(paths)
+    out = np.empty((n, height, width, 3), np.uint8)
+    sizes: list = [None] * n
+    missing: list[int] = []
+    for i, p in enumerate(paths):
         v = cache.get(p) if cache is not None else None
-        if v is None and disk_cache is not None:
-            v = disk_cache.get(p)
-            if v is not None and cache is not None:
-                cache[p] = v
         if v is None:
-            missing.append(p)
+            missing.append(i)
         else:
-            held[p] = v
+            out[i] = v[0]
+            sizes[i] = v[1]
+    if missing and disk_cache is not None:
+        got = disk_cache.read_many_into([paths[i] for i in missing], out, missing)
+        still = []
+        for k, i in enumerate(missing):
+            if got[k] is None:
+                still.append(i)
+            else:
+                sizes[i] = got[k]
+                if cache is not None:
+                    # own copy: a view into this clip array would pin the
+                    # whole clip in the LRU under one frame's accounting
+                    cache[paths[i]] = (out[i].copy(), got[k])
+        missing = still
     if missing:
-        imgs_m, sizes_m = _decode_batch(missing, height, width, threads)
-        for i, p in enumerate(missing):
-            v = (imgs_m[i], sizes_m[i])
-            held[p] = v
+        # decode each distinct path once (dense padding repeats frames)
+        uniq = list(dict.fromkeys(paths[i] for i in missing))
+        imgs_m, sizes_m = _decode_batch(uniq, height, width, threads)
+        by_path = {p: j for j, p in enumerate(uniq)}
+        for i in missing:
+            j = by_path[paths[i]]
+            out[i] = imgs_m[j]
+            sizes[i] = sizes_m[j]
+        for p, j in by_path.items():
             if cache is not None:
-                cache[p] = v
+                cache[p] = (imgs_m[j], sizes_m[j])
             if disk_cache is not None:
-                disk_cache.put(p, imgs_m[i], sizes_m[i])
-    frames = np.stack([held[p][0] for p in paths])
-    return frames, [held[p][1] for p in paths]
+                disk_cache.put(p, imgs_m[j], sizes_m[j])
+    return out, sizes
 
 
 def _decode_batch(
