@@ -27,7 +27,7 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["evaluate_rank", "eval_market1501", "eval_cuhk03", "evaluate_mars", "evaluate_dukev"]
+__all__ = ["evaluate_rank", "eval_market1501", "eval_cuhk03", "evaluate_mars", "evaluate_dukev", "evaluate_dukev_fast"]
 
 
 def _sorted_flags(distmat, q_pids, g_pids, q_camids, g_camids):
@@ -273,6 +273,53 @@ def _cmc_configurable(
     return ret.cumsum() / num_valid_queries
 
 
+def evaluate_dukev_fast(
+    distmat, query_ids, gallery_ids, query_cams, gallery_cams, max_rank=50
+):
+    """Vectorized duke-protocol scoring (the fast path of evaluate_dukev).
+
+    Equivalent closed forms of the reference's per-query loops:
+      * mAP: sklearn's auc(recall, precision) over the PR curve of the
+        kept ranking is, for tie-free scores, exactly the trapezoid sum
+        over match positions with old_precision = 1 at the first kept
+        slot — the same cumsum formulation the mars path uses, with the
+        kept-list match count as the recall denominator and no rank
+        truncation. (With TIED distances sklearn merges curve points and
+        can differ; re-id feature distances are continuous, and
+        evaluate_dukev keeps the sklearn path for exactness.)
+      * CMC (first_match_break, shared camera set): indicator that the
+        first kept match appears at rank <= r — identical to the
+        market1501 CMC row construction with topk=max(100, max_rank).
+    """
+    num_q, num_g = np.asarray(distmat).shape
+    topk = max(100, max_rank)
+    _, _, match, same_cam = _sorted_flags(
+        distmat, query_ids, gallery_ids, query_cams, gallery_cams
+    )
+    keep = ~(match & same_cam)
+    good = match & keep
+
+    j = np.cumsum(keep, axis=1)  # kept position (1-based)
+    cs = np.cumsum(good, axis=1)
+    num_rel = good.sum(axis=1)
+    valid = num_rel > 0
+    if not valid.any():
+        raise RuntimeError("No valid query")
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(good, cs / np.maximum(j, 1), 0.0)
+        old_prec = np.where(good & (j > 1), (cs - 1) / np.maximum(j - 1, 1), 1.0)
+        old_prec = np.where(good, old_prec, 0.0)
+    ap = ((prec + old_prec) / 2.0 * good).sum(axis=1) / np.maximum(num_rel, 1)
+    mAP = float(ap[valid].mean())
+
+    first_good = np.where(good, j - 1, num_g)
+    r0 = first_good.min(axis=1)
+    ranks = np.arange(topk)[None, :]
+    cmc = (ranks >= r0[:, None]).astype(np.float64)
+    return cmc[valid].mean(axis=0), mAP
+
+
 def evaluate_dukev(distmat, query_ids, gallery_ids, query_cams, gallery_cams, max_rank=50):
     """Duke video protocol: interpolated mAP + first-match-break CMC."""
     distmat = np.asarray(distmat)
@@ -356,5 +403,9 @@ def evaluate_rank(
     if use_metric_mars:
         return evaluate_mars(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     if use_metric_dukev:
-        return evaluate_dukev(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
+        # vectorized closed form of the sklearn loop (exact for tie-free
+        # distances; evaluate_dukev keeps the literal sklearn walk)
+        return evaluate_dukev_fast(
+            distmat, q_pids, g_pids, q_camids, g_camids, max_rank
+        )
     raise ValueError("Select one of the evaluation metrics")

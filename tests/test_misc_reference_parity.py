@@ -155,3 +155,53 @@ def test_graph_builder_vs_reference_generate_graph(pyramid_part, num_scale):
     got = np.asarray(gb(poses_arr, np.full(S, float(H))))
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# duke-protocol eval (sklearn interpolated mAP + first-match-break CMC)
+# ---------------------------------------------------------------------------
+
+
+def _duke_problem(seed, num_q=15, num_g=120, num_pids=12):
+    from .oracles import make_reid_problem
+
+    return make_reid_problem(np.random.RandomState(seed), num_q=num_q, num_g=num_g, num_pids=num_pids)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_evaluate_dukev_vs_reference(seed, monkeypatch):
+    from agrl_tpu.metrics.rank import evaluate_dukev
+
+    if not hasattr(np, "bool"):
+        monkeypatch.setattr(np, "bool", np.bool_, raising=False)
+    ref = _ref("torchreid.metrics.rank")
+    dist, qp, gp, qc, gc = _duke_problem(seed)
+    cmc_r, map_r = ref.evaluate_dukev(dist, qp, gp, qc, gc)
+    cmc_v, map_v = evaluate_dukev(dist, qp, gp, qc, gc)
+    np.testing.assert_allclose(cmc_v, cmc_r, atol=1e-9)
+    np.testing.assert_allclose(map_v, map_r, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_evaluate_dukev_fast_equals_sklearn_path(seed):
+    """The vectorized trapezoid/cumsum formulation must reproduce the
+    sklearn-based per-query loop exactly on tie-free distances."""
+    from agrl_tpu.metrics.rank import evaluate_dukev, evaluate_dukev_fast
+
+    dist, qp, gp, qc, gc = _duke_problem(seed, num_q=25, num_g=200, num_pids=15)
+    cmc_s, map_s = evaluate_dukev(dist, qp, gp, qc, gc)
+    cmc_f, map_f = evaluate_dukev_fast(dist, qp, gp, qc, gc)
+    np.testing.assert_allclose(cmc_f, cmc_s, atol=1e-9)
+    np.testing.assert_allclose(map_f, map_s, atol=1e-9)
+
+
+def test_evaluate_dukev_fast_skips_invalid_queries():
+    from agrl_tpu.metrics.rank import evaluate_dukev, evaluate_dukev_fast
+
+    dist, qp, gp, qc, gc = _duke_problem(7)
+    qp = qp.copy()
+    qp[::4] = 999  # no gallery match -> excluded from both averages
+    cmc_s, map_s = evaluate_dukev(dist, qp, gp, qc, gc)
+    cmc_f, map_f = evaluate_dukev_fast(dist, qp, gp, qc, gc)
+    np.testing.assert_allclose(cmc_f, cmc_s, atol=1e-9)
+    np.testing.assert_allclose(map_f, map_s, atol=1e-9)
