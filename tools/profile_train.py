@@ -26,16 +26,21 @@ B, S, H, W = 16, 8, 256, 128
 
 def timed(fn, *args, iters=8, warmup=2):
     """Best-of-2-windows mean step time with a host-fetch sync (the axon
-    tunnel makes block_until_ready unreliable for timing)."""
-    out = fn(*args)
-    sync = jax.tree.leaves(out)[0]
-    _ = np.asarray(sync).ravel()[:1]
+    tunnel makes block_until_ready unreliable for timing). The sync
+    fetches ONE element — a whole-array fetch would time the ~30 MB/s
+    tunnel, not the chip."""
+
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        _ = np.asarray(leaf.ravel()[0:1])
+
+    sync(fn(*args))
     best = float("inf")
     for _w in range(warmup):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -75,13 +80,17 @@ def main():
     rows = []
 
     def prof_stage(name, module, sub_params, x_np, extra=None):
-        """Time fwd and fwd+bwd (grad wrt params AND input) of one stage."""
+        """Time fwd and fwd+bwd (grad wrt params AND input) of one stage,
+        in TRAIN mode (batch statistics computed, like the real step)."""
         x = jnp.asarray(x_np, jnp.bfloat16)
-        vs = {"params": sub_params}
         extra_args = extra or {}
 
         def fwd(p, x):
-            return module.apply({"params": p}, x, train=False, **extra_args)
+            out, _ = module.apply(
+                {"params": p}, x, train=True, mutable=["batch_stats"],
+                **extra_args,
+            )
+            return out
 
         def loss(p, x):
             return jnp.sum(fwd(p, x).astype(jnp.float32))
@@ -122,7 +131,10 @@ def main():
     glayer = GraphConvLayer(in_features=2048, out_features=2048)
 
     def gloss(p, x):
-        return jnp.sum(glayer.apply({"params": p}, x, adj, train=False))
+        out, _ = glayer.apply(
+            {"params": p}, x, adj, train=True, mutable=["batch_stats"]
+        )
+        return jnp.sum(out)
 
     gp = params["graph_layer_0"]
     jg = jax.jit(jax.grad(gloss, argnums=(0, 1)))
