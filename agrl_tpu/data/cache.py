@@ -179,22 +179,26 @@ class FrameDiskCache:
         n = len(paths)
         recs = [self._index.get(p) for p in paths]
         sizes: list = [None] * n
+        MAX_RUN = 256  # stay well under IOV_MAX and keep short-read retries cheap
         i = 0
         while i < n:
             if recs[i] is None:
                 i += 1
                 continue
             j = i
-            while j + 1 < n and recs[j + 1] == recs[j] + 1:
+            while (
+                j + 1 < n and j + 1 - i < MAX_RUN and recs[j + 1] == recs[j] + 1
+            ):
                 j += 1
             bufs = [
                 memoryview(out[rows[k]]).cast("B", shape=[self.rec_bytes])
                 for k in range(i, j + 1)
             ]
             got = os.preadv(self._read_fd, bufs, recs[i] * self.rec_bytes)
-            if got == (j - i + 1) * self.rec_bytes:
-                for k in range(i, j + 1):
-                    sizes[k] = self._sizes[recs[k]]
+            full = got // self.rec_bytes  # complete records read (short
+            # reads leave the tail as misses for the caller to decode)
+            for k in range(i, i + full):
+                sizes[k] = self._sizes[recs[k]]
             i = j + 1
         return sizes
 

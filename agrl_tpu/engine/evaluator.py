@@ -326,7 +326,7 @@ class Evaluator:
         on_device = (
             device_rank
             and not return_distmat
-            and metric_protocol in ("mars", "market1501", "cuhk03")
+            and metric_protocol in ("mars", "market1501", "cuhk03", "dukev")
         )
         qf, q_pids, q_camids, bt_q = self.extract(
             variables, queryloader, "query", keep_on_device=on_device, mesh=mesh
@@ -353,9 +353,10 @@ class Evaluator:
         # protocols without a device scorer) falls through to the host.
         if device_rank and not return_distmat:
             device_cmc = None
-            if metric_protocol in ("mars", "market1501", "cuhk03"):
+            if metric_protocol in ("mars", "market1501", "cuhk03", "dukev"):
                 from agrl_tpu.ops.rank import (
                     cuhk03_cmc_map,
+                    dukev_cmc_map,
                     evaluate_mars_device,
                     market1501_cmc_map,
                     mars_cmc_map_from_distmat,
@@ -387,6 +388,10 @@ class Evaluator:
                         )
                     if metric_protocol == "market1501":
                         return market1501_cmc_map(
+                            dm, q_pids, g_pids, q_camids, g_camids
+                        )
+                    if metric_protocol == "dukev":
+                        return dukev_cmc_map(
                             dm, q_pids, g_pids, q_camids, g_camids
                         )
                     return cuhk03_cmc_map(

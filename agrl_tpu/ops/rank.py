@@ -162,6 +162,44 @@ def market1501_cmc_map(
 
 
 @partial(jax.jit, static_argnames=("max_rank",))
+def dukev_cmc_map(
+    distmat, q_pids, g_pids, q_camids, g_camids, max_rank: int = 50
+):
+    """Duke video protocol fully on device: the closed-form sklearn PR-AUC
+    (trapezoid against the appended (recall=0, precision=1) endpoint —
+    same formulation as metrics.rank.evaluate_dukev_fast, exact for
+    tie-free distances) + first-match-break CMC over
+    topk = max(100, max_rank) kept ranks (reference rank.py:330-343)."""
+    topk = max(100, max_rank)
+    distmat = jnp.asarray(distmat)
+    Q, G = distmat.shape
+    indices = jnp.argsort(distmat, axis=1)
+    g_pid_s = g_pids[indices]
+    g_cam_s = g_camids[indices]
+    match = g_pid_s == q_pids[:, None]
+    keep = ~(match & (g_cam_s == q_camids[:, None]))
+    good = match & keep
+
+    j = jnp.cumsum(keep, axis=1)
+    cs = jnp.cumsum(good, axis=1)
+    num_rel = good.sum(axis=1)
+    valid = num_rel > 0
+
+    prec = jnp.where(good, cs / jnp.maximum(j, 1), 0.0)
+    old_prec = jnp.where(good & (j > 1), (cs - 1) / jnp.maximum(j - 1, 1), 1.0)
+    old_prec = jnp.where(good, old_prec, 0.0)
+    ap = ((prec + old_prec) / 2.0 * good).sum(axis=1) / jnp.maximum(num_rel, 1)
+
+    first_good = jnp.where(good, j - 1, G).min(axis=1)
+    cmc_rows = (jnp.arange(topk)[None, :] >= first_good[:, None]).astype(jnp.float32)
+
+    n_valid = jnp.maximum(valid.sum(), 1)
+    cmc = (cmc_rows * valid[:, None]).sum(axis=0) / n_valid
+    mAP = (ap * valid).sum() / n_valid
+    return cmc, mAP
+
+
+@partial(jax.jit, static_argnames=("max_rank",))
 def mars_cmc_map_from_distmat(
     distmat, q_pids, g_pids, q_camids, g_camids, max_rank: int = 50
 ):

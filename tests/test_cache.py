@@ -263,3 +263,35 @@ def test_estimate_cache_gb():
     imgs = [("d.jpg", 0, 0)]
     gb2 = estimate_cache_gb([tracklets, imgs], 256, 128)
     assert gb2 == pytest.approx(4 * 256 * 128 * 3 / 1e9)
+
+
+class TestReadManyInto:
+    def test_contiguous_noncontiguous_and_missing(self, tmp_path):
+        store = FrameDiskCache(str(tmp_path / "s"), 4, 4)
+        frames = {f"p{i}.jpg": _frame(i, 4, 4) for i in range(6)}
+        for p, img in frames.items():
+            store.put(p, img, (4, 4))
+        # reversed + duplicate + missing: runs break correctly
+        paths = ["p3.jpg", "p4.jpg", "p5.jpg", "p1.jpg", "p1.jpg", "nope.jpg", "p0.jpg"]
+        out = np.zeros((len(paths), 4, 4, 3), np.uint8)
+        sizes = store.read_many_into(paths, out, list(range(len(paths))))
+        for k, p in enumerate(paths):
+            if p == "nope.jpg":
+                assert sizes[k] is None
+            else:
+                assert sizes[k] == (4, 4)
+                np.testing.assert_array_equal(out[k], frames[p])
+        store.close()
+
+    def test_run_longer_than_iov_chunk(self, tmp_path):
+        store = FrameDiskCache(str(tmp_path / "s"), 2, 2)
+        n = 600  # > MAX_RUN=256 -> several preadv calls for one run
+        for i in range(n):
+            store.put(f"f{i}", _frame(i, 2, 2), (2, 2))
+        paths = [f"f{i}" for i in range(n)]
+        out = np.zeros((n, 2, 2, 3), np.uint8)
+        sizes = store.read_many_into(paths, out, list(range(n)))
+        assert all(s == (2, 2) for s in sizes)
+        for i in (0, 255, 256, 511, 599):
+            np.testing.assert_array_equal(out[i], _frame(i, 2, 2))
+        store.close()

@@ -156,3 +156,45 @@ class TestCuhk03Device:
             dist, qp, gp, qc, gc, jax.random.PRNGKey(5), max_rank=8, num_repeats=200
         )
         np.testing.assert_allclose(np.asarray(cmc_d), cmc_np, atol=0.03)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dukev_device_matches_host(seed):
+    """Device duke-protocol scorer vs the host sklearn loop AND its
+    vectorized closed form."""
+    from agrl_tpu.metrics.rank import evaluate_dukev, evaluate_dukev_fast
+    from agrl_tpu.ops.rank import dukev_cmc_map
+
+    from .oracles import make_reid_problem
+
+    rng = np.random.RandomState(seed)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=12, num_g=150, num_pids=10)
+    cmc_h, map_h = evaluate_dukev(dist, qp, gp, qc, gc)
+    cmc_f, map_f = evaluate_dukev_fast(dist, qp, gp, qc, gc)
+    cmc_d, map_d = dukev_cmc_map(
+        jnp.asarray(dist, jnp.float32), jnp.asarray(qp), jnp.asarray(gp),
+        jnp.asarray(qc), jnp.asarray(gc),
+    )
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_f, atol=1e-5)
+    np.testing.assert_allclose(float(map_d), map_f, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_h, atol=1e-5)
+    np.testing.assert_allclose(float(map_d), map_h, atol=1e-5)
+
+
+def test_dukev_device_invalid_queries():
+    from agrl_tpu.metrics.rank import evaluate_dukev_fast
+    from agrl_tpu.ops.rank import dukev_cmc_map
+
+    from .oracles import make_reid_problem
+
+    rng = np.random.RandomState(5)
+    dist, qp, gp, qc, gc = make_reid_problem(rng, num_q=10, num_g=120, num_pids=8)
+    qp = qp.copy()
+    qp[::3] = 777
+    cmc_f, map_f = evaluate_dukev_fast(dist, qp, gp, qc, gc)
+    cmc_d, map_d = dukev_cmc_map(
+        jnp.asarray(dist, jnp.float32), jnp.asarray(qp), jnp.asarray(gp),
+        jnp.asarray(qc), jnp.asarray(gc),
+    )
+    np.testing.assert_allclose(np.asarray(cmc_d), cmc_f, atol=1e-5)
+    np.testing.assert_allclose(float(map_d), map_f, atol=1e-5)
