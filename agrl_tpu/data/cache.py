@@ -103,8 +103,17 @@ class FrameDiskCache:
 
     Reads are positional (`pread`/`preadv` on a shared fd — no file
     position state, safe under the loader's thread pool); appends hold a
-    lock. A partial trailing record from a crashed run is ignored (the
-    index is authoritative up to the shorter of the two files)."""
+    lock. Crash recovery: the store is authoritative up to the shorter of
+    the two files — BOTH the .bin and the .idx truncate to that point on
+    writer open (a stale idx line left behind would otherwise realign
+    with a later-appended record and serve the wrong frame forever).
+
+    Cross-process: the writer role is guarded by an flock'd lockfile —
+    exactly one process appends/truncates; any other process sharing the
+    directory opens READ-ONLY (its `put` is a no-op and nothing is
+    truncated under the writer's feet). Readers see the record prefix
+    indexed at their open; they pick up the writer's additions on their
+    next open."""
 
     VERSION = "2"
 
@@ -118,12 +127,26 @@ class FrameDiskCache:
         ver_path = osp.join(cache_dir, "VERSION")
         self._lock = threading.Lock()
 
+        # single-writer flock (per store, i.e. per (dir, H, W))
+        self._lock_fd = os.open(
+            osp.join(cache_dir, f"frames_{height}x{width}.lock"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        try:
+            import fcntl
+
+            fcntl.flock(self._lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            self.read_only = False
+        except OSError:
+            self.read_only = True
+
         try:
             with open(ver_path) as f:
                 ver = f.read().strip()
         except OSError:
             ver = None
-        if ver != self.VERSION:
+        if ver != self.VERSION and not self.read_only:
             for p in (self.bin_path, self.idx_path):
                 if osp.exists(p):
                     os.remove(p)
@@ -134,8 +157,12 @@ class FrameDiskCache:
         open(self.idx_path, "ab").close()
         self._index: dict[str, int] = {}
         self._sizes: list[tuple[int, int]] = []
-        with open(self.idx_path, "r") as f:
-            lines = f.read().splitlines()
+        if ver != self.VERSION and self.read_only:
+            # a reader cannot wipe a stale-layout store; treat it as empty
+            lines = []
+        else:
+            with open(self.idx_path, "r") as f:
+                lines = f.read().splitlines()
         full_records = os.path.getsize(self.bin_path) // self.rec_bytes
         n = 0
         for line in lines[: full_records]:
@@ -150,10 +177,24 @@ class FrameDiskCache:
         self._n = n
         # data reads via pread on a shared fd; appends via buffered handles
         self._read_fd = os.open(self.bin_path, os.O_RDONLY)
-        self._bin_append = open(self.bin_path, "r+b")
-        self._bin_append.seek(n * self.rec_bytes)
-        self._bin_append.truncate()  # drop any partial trailing record
-        self._idx_append = open(self.idx_path, "a")
+        if not self.read_only:
+            # drop any partial trailing record AND the idx lines beyond the
+            # recovered prefix — both files must agree record-for-line (a
+            # stale idx line would realign with the next appended record
+            # and serve the wrong frame)
+            self._bin_append = open(self.bin_path, "r+b")
+            self._bin_append.seek(n * self.rec_bytes)
+            self._bin_append.truncate()
+            if len(lines) != n:
+                with open(self.idx_path, "w") as f:
+                    f.write("".join(
+                        f"{p}\t{w}\t{h}\n"
+                        for p, (w, h) in zip(self._index, self._sizes)
+                    ))
+            self._idx_append = open(self.idx_path, "a")
+        else:
+            self._bin_append = None
+            self._idx_append = None
 
     def __len__(self):
         return self._n
@@ -203,6 +244,8 @@ class FrameDiskCache:
         return sizes
 
     def put(self, path: str, img: np.ndarray, size) -> None:
+        if self.read_only:  # another process holds the writer lock
+            return
         assert img.shape == (self.height, self.width, 3) and img.dtype == np.uint8
         with self._lock:
             if path in self._index:
@@ -217,12 +260,15 @@ class FrameDiskCache:
 
     def close(self):
         with self._lock:
-            try:
-                os.close(self._read_fd)
-            except OSError:
-                pass
-            self._bin_append.close()
-            self._idx_append.close()
+            for fd in (self._read_fd, self._lock_fd):
+                try:
+                    os.close(fd)  # closing releases the flock
+                except OSError:
+                    pass
+            if self._bin_append is not None:
+                self._bin_append.close()
+            if self._idx_append is not None:
+                self._idx_append.close()
             self._index.clear()
 
 

@@ -51,6 +51,8 @@ class ImageDataset:
 class VideoClipDataset:
     """Host-side per-tracklet item assembly."""
 
+    _instance_counter = 0
+
     def __init__(
         self,
         tracklets: list,
@@ -91,7 +93,11 @@ class VideoClipDataset:
             cache = BoundedCache(cache_bytes)
         self.cache = cache
         self._cache_items = sample in ("evenly", "all", "dense", "skipdense")
-        self._item_tag = f"item:{id(self)}"
+        # monotonic tag, NOT id(self): CPython reuses addresses, so a new
+        # dataset could otherwise read a dead dataset's cached items out
+        # of a shared longer-lived cache
+        VideoClipDataset._instance_counter += 1
+        self._item_tag = f"item:{VideoClipDataset._instance_counter}"
         # persistent decoded-frame store (see data.cache.FrameDiskCache):
         # survives processes; decode is paid once per machine per dataset
         if isinstance(disk_cache, str):

@@ -103,7 +103,10 @@ def host_decode_resize(
             sizes[i] = sizes_m[j]
         for p, j in by_path.items():
             if cache is not None:
-                cache[p] = (imgs_m[j], sizes_m[j])
+                # own copy: a row VIEW would pin the whole decode-batch
+                # array while the LRU accounts one frame — the cap math
+                # (and eviction) would be wrong by up to the batch size
+                cache[p] = (imgs_m[j].copy(), sizes_m[j])
             if disk_cache is not None:
                 disk_cache.put(p, imgs_m[j], sizes_m[j])
     return out, sizes

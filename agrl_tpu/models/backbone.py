@@ -25,18 +25,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # torch BatchNorm defaults: momentum 0.1 (=> flax momentum 0.9), eps 1e-5.
-# One-pass (fast) variance E[x^2] - E[x]^2 is safe on this flax version:
+# One-pass (fast) variance E[x^2] - E[x]^2 is safe when flax's
 # _compute_stats promotes statistics to f32 AND clamps the cancellation
-# residue with `var = jnp.maximum(0.0, mu2 - _abs_sq(mu))` (flax 0.12.3,
-# linen/normalization.py), so a bf16-rounded constant channel can never
-# reach rsqrt with var + eps < 0. Round 2 shipped the two-pass
-# use_fast_variance=False out of caution after a mid-training NaN (the
-# actual overflow was the l2 affinity, fixed separately as 2*sigmoid(-d));
-# the two-pass cost ~5.6% train throughput (BENCH_r01 302.8 -> r02 285.7
-# clips/s) because it reads the conv activations from HBM twice. The
-# constant-channel regression tests (tests/test_models.py) pin the
-# finiteness guarantee either way.
-BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+# residue with `var = jnp.maximum(0.0, mu2 - _abs_sq(mu))` (present in
+# flax 0.12.3, linen/normalization.py) — a bf16-rounded constant channel
+# then can never reach rsqrt with var + eps < 0. Round 2 shipped the
+# two-pass use_fast_variance=False out of caution after a mid-training
+# NaN (the actual overflow was the l2 affinity, fixed separately as
+# 2*sigmoid(-d)); the two-pass cost ~5.6% train throughput (BENCH_r01
+# 302.8 -> r02 285.7 clips/s) because it reads the conv activations from
+# HBM twice. The clamp is VERIFIED at import below — an older flax
+# without it falls back to the nonnegative-by-construction two-pass, so
+# the finiteness guarantee never depends on an unpinned dependency; the
+# constant-channel regression tests (tests/test_models.py) pin it either
+# way (f32 + bf16, batch and running stats).
+
+
+def _flax_clamps_fast_variance() -> bool:
+    try:
+        import inspect
+
+        from flax.linen import normalization as _norm
+
+        src = inspect.getsource(_norm._compute_stats)
+        return "maximum(0.0" in src or "maximum(0," in src
+    except Exception:
+        return False
+
+
+BatchNorm = partial(
+    nn.BatchNorm, momentum=0.9, epsilon=1e-5,
+    use_fast_variance=_flax_clamps_fast_variance(),
+)
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 

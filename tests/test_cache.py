@@ -295,3 +295,82 @@ class TestReadManyInto:
         for i in (0, 255, 256, 511, 599):
             np.testing.assert_array_equal(out[i], _frame(i, 2, 2))
         store.close()
+
+
+class TestReviewRegressions:
+    """Round-3 review findings: crash-recovery index desync, writer
+    locking, cache-entry ownership, item-tag reuse."""
+
+    def test_crash_recovery_truncates_index_too(self, tmp_path):
+        d = str(tmp_path / "s")
+        store = FrameDiskCache(d, 4, 4)
+        for i in range(3):
+            store.put(f"p{i}", _frame(i, 4, 4), (4, 4))
+        store.close()
+        # crash leaves the bin one record short of the idx
+        bin_path = os.path.join(d, "frames_4x4.bin")
+        with open(bin_path, "r+b") as f:
+            f.truncate(2 * 4 * 4 * 3)
+        s2 = FrameDiskCache(d, 4, 4)
+        s2.put("newpath", _frame(9, 4, 4), (4, 4))
+        s2.close()
+        # the stale 'p2' idx line must NOT have realigned onto newpath's
+        # record — that would serve wrong pixels for a real path forever
+        s3 = FrameDiskCache(d, 4, 4)
+        assert s3.get("p2") is None
+        np.testing.assert_array_equal(s3.get("newpath")[0], _frame(9, 4, 4))
+        np.testing.assert_array_equal(s3.get("p1")[0], _frame(1, 4, 4))
+        s3.close()
+
+    def test_second_process_opens_read_only(self, tmp_path):
+        d = str(tmp_path / "s")
+        a = FrameDiskCache(d, 4, 4)
+        a.put("p0", _frame(0, 4, 4), (4, 4))
+        b = FrameDiskCache(d, 4, 4)  # writer lock held by `a`
+        assert not a.read_only and b.read_only
+        np.testing.assert_array_equal(b.get("p0")[0], _frame(0, 4, 4))
+        b.put("px", _frame(5, 4, 4), (4, 4))  # silently ignored
+        assert b.get("px") is None
+        # reader must not have truncated the writer's files
+        a.put("p1", _frame(1, 4, 4), (4, 4))
+        b.close()
+        a.close()
+        c = FrameDiskCache(d, 4, 4)  # lock released -> writer again
+        assert not c.read_only
+        np.testing.assert_array_equal(c.get("p1")[0], _frame(1, 4, 4))
+        c.close()
+
+    def test_decoded_cache_entries_own_their_memory(self, tmp_path):
+        from PIL import Image
+
+        p = str(tmp_path / "x.jpg")
+        Image.fromarray(_frame(1, 32, 16)).save(p)
+        ram = BoundedCache()
+        host_decode_resize([p], 32, 16, cache=ram)
+        entry = ram.get(p)
+        # a view into the decode batch would pin the whole batch while
+        # the LRU accounts a single frame
+        assert entry[0].base is None
+
+    def test_item_tags_not_reused_across_dataset_lifetimes(self, tmp_path):
+        import gc
+
+        from agrl_tpu.data.loader import VideoClipDataset
+
+        tags = set()
+        for _ in range(5):
+            ds = VideoClipDataset([(("a.jpg",), 0, 0)], enable_pose=False)
+            tags.add(ds._item_tag)
+            del ds
+            gc.collect()  # id(self) WOULD be reused here
+        assert len(tags) == 5
+
+
+def test_batchnorm_fast_variance_gated_on_flax_clamp():
+    """The one-pass variance is only used when flax's _compute_stats
+    clamps the negative cancellation residue; otherwise the two-pass
+    fallback keeps the NaN guarantee on unpinned flax versions."""
+    from agrl_tpu.models.backbone import BatchNorm, _flax_clamps_fast_variance
+
+    assert _flax_clamps_fast_variance()  # this environment's flax has it
+    assert BatchNorm.keywords["use_fast_variance"] is True
