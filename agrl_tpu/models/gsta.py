@@ -70,8 +70,15 @@ class GSTA(nn.Module):
     def total_split(self):
         return sum(self.total_split_list)
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
         if self.dtype is not None:
@@ -84,6 +91,13 @@ class GSTA(nn.Module):
         if self.dtype is not None:
             fmap = fmap.astype(jnp.float32)
         _, h, w, c = fmap.shape
+
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)  # (B, S)
+            vmask = jnp.repeat(fm, self.total_split, axis=1)  # frame-major
+        else:
+            fm = vmask = None
 
         fw = fmap.mean(axis=2)  # pool width
         v_parts = [
@@ -100,7 +114,7 @@ class GSTA(nn.Module):
                 learn_graph=self.learn_graph,
                 dist_method=self.dist_method,
                 name=f"graph_layer_{i}",
-            )(f, adj, train=train)
+            )(f, adj, train=train, vertex_mask=vmask)
         f = f.reshape(B, S, self.total_split, c)
 
         bottleneck = BNNeck(name="bottleneck")
@@ -112,7 +126,7 @@ class GSTA(nn.Module):
             name="classifier",
         )
 
-        f_g = temporal_attention(f).mean(axis=1)
+        f_g = temporal_attention(f, frame_mask=fm).mean(axis=1)
         bn = bottleneck(f_g, train=train)
 
         if not train:

@@ -150,3 +150,30 @@ def test_unsupported_model_falls_back(tiny):
 
     ev = Evaluator(NoMask(), test_sample="all")
     assert ev._fwd_masked is None
+
+
+def test_gsta_masked_forward_equals_unpadded():
+    """GSTA also supports frame_mask: padded forward == unpadded."""
+    from agrl_tpu.models.gsta import GSTA
+
+    model = GSTA(num_classes=4, layers=(1, 1, 1, 1), num_split=4,
+                 pyramid_part=True, num_gb=2)
+    variables = init_params(
+        model, jax.random.PRNGKey(1), seq_len=4, height=32, width=16, batch_size=2
+    )
+    assert model.supports_frame_mask
+    r = np.random.RandomState(4)
+    num, Sp = 5, 8
+    V, Vp = num * model.total_split, Sp * model.total_split
+    x = r.rand(2, num, 32, 16, 3).astype(np.float32)
+    adj = (r.rand(2, V, V) > 0.4).astype(np.float32)
+    want = model.apply(variables, x, adj, train=False)
+
+    xp = np.zeros((2, Sp, 32, 16, 3), np.float32)
+    xp[:, :num] = x
+    adjp = np.zeros((2, Vp, Vp), np.float32)
+    adjp[:, :V, :V] = adj
+    fmask = np.zeros((2, Sp), np.float32)
+    fmask[:, :num] = 1.0
+    got = model.apply(variables, xp, adjp, train=False, frame_mask=fmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
