@@ -132,7 +132,8 @@ class Evaluator:
             return self._extract_dense_packed(variables, loader, name, mesh=mesh)
         if self.test_sample == "all" and self._fwd_masked is not None:
             return self._extract_all_bucketed(
-                variables, loader, name, keep_on_device=keep_on_device
+                variables, loader, name, keep_on_device=keep_on_device,
+                mesh=mesh,
             )
         run_fwd = self._make_fwd_runner(variables, mesh)
         feats, pids, camids = [], [], []
@@ -165,29 +166,91 @@ class Evaluator:
             b *= 2
         return b
 
-    def _extract_all_bucketed(
-        self, variables, loader, name: str, keep_on_device: bool = False
-    ):
-        """`all`-sampling extraction with fixed-shape length bucketing.
+    def _make_masked_runner(self, variables, mesh):
+        """Masked forward, batch-sharded over the mesh's 'dp' axis when a
+        mesh is given (caller sends dp-divisible batches)."""
+        if mesh is None or mesh.size <= 1:
+            return lambda x, a, m: self._fwd_masked(variables, x, a, m)
 
-        The reference runs whole tracklets at their native length
-        (dataset_loader.py:115-119), which under XLA would compile one
-        program per distinct tracklet length (hundreds on MARS). Here each
-        tracklet pads to the next power-of-two frame count with a frame
-        mask; the model excludes padding exactly (masked global mean,
-        masked graph row-normalization, masked attention — see
-        models/vmgn.py), so features equal the unpadded forward while only
-        O(log) shapes ever compile. Runs on the default device (batch is a
-        single tracklet — nothing to shard)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+        def run(x, a, m):
+            put = lambda arr: jax.device_put(  # noqa: E731
+                arr, NamedSharding(mesh, P("dp", *[None] * (np.ndim(arr) - 1)))
+            )
+            return self._fwd_masked(variables, put(x), put(a), put(m))
+
+        return run
+
+    def _extract_all_bucketed(
+        self, variables, loader, name: str, keep_on_device: bool = False,
+        mesh=None,
+    ):
+        """`all`-sampling extraction with fixed-shape length bucketing and
+        cross-tracklet batching.
+
+        The reference runs whole tracklets one at a time at their native
+        length (dataset_loader.py:115-119) — under XLA that is one
+        compilation per distinct length (hundreds on MARS) at batch 1.
+        Here each tracklet pads to the next power-of-two frame count with
+        a frame mask the model honors exactly (masked global mean, masked
+        graph row-normalization, masked attention — see models/vmgn.py),
+        and same-bucket tracklets batch together up to a ~clip_batch*8
+        frame budget (dp-padded under a mesh), so features equal the
+        unpadded forward while only O(log) shapes compile — at real device
+        batch sizes instead of the reference's batch 1."""
         total_split = self.model.total_split
-        feats, pids, camids = [], [], []
+        dp = mesh.shape["dp"] if mesh is not None and mesh.size > 1 else 1
+        frame_budget = max(self.clip_batch, 1) * 8
+        runner = self._make_masked_runner(variables, mesh)
         batch_time = AverageMeter()
+        pend: dict[int, list] = {}  # bucket -> [(idx, imgs, adj, fmask)]
+        out: dict[int, object] = {}  # idx -> feature row
+        pids, camids = [], []
+        n_items = 0
+
+        def ab_for(Sp: int) -> int:
+            ab = max(1, frame_budget // Sp)
+            return -(-ab // dp) * dp  # round UP to a dp multiple
+
+        def flush(Sp: int, final: bool = False):
+            q = pend[Sp]
+            ab = ab_for(Sp)
+            while q and (final or len(q) >= ab):
+                chunk = q[:ab]
+                del q[:ab]
+                take = len(chunk)
+                t0 = time.time()
+                imgs = np.stack([c[1] for c in chunk])
+                adjs = np.stack([c[2] for c in chunk])
+                fmasks = np.stack([c[3] for c in chunk])
+                if take < ab:  # tail: reuse the compiled (ab, ...) shape
+                    pad = ab - take
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                    )
+                    adjs = np.concatenate(
+                        [adjs, np.zeros((pad, *adjs.shape[1:]), adjs.dtype)]
+                    )
+                    # dummy rows keep one real frame so the masked mean
+                    # never divides by zero (rows are dropped anyway)
+                    fpad = np.zeros((pad, Sp), np.float32)
+                    fpad[:, 0] = 1.0
+                    fmasks = np.concatenate([fmasks, fpad])
+                f = runner(imgs, adjs, fmasks)
+                if not keep_on_device:
+                    f = np.asarray(f)
+                batch_time.update(time.time() - t0)
+                for (idx, *_), row in zip(chunk, f[:take]):
+                    out[idx] = row
+
         for imgs, bpids, bcamids, adjs in loader:
             for bi in range(imgs.shape[0]):
                 clip = imgs[bi]  # (num, H, W, 3)
                 adj = adjs[bi]  # (V, V), V = num * total_split
                 num = clip.shape[0]
-                t0 = time.time()
                 Sp = self._bucket_len(num)
                 if Sp > num:
                     pad = Sp - num
@@ -200,20 +263,19 @@ class Evaluator:
                     adj = adj_p
                 fmask = np.zeros(Sp, np.float32)
                 fmask[:num] = 1.0
-                f = self._fwd_masked(
-                    variables, clip[None], adj[None], fmask[None]
-                )
-                if not keep_on_device:
-                    f = np.asarray(f)
-                batch_time.update(time.time() - t0)
-                feats.append(f)
+                pend.setdefault(Sp, []).append((n_items, clip, adj, fmask))
                 pids.append(int(np.asarray(bpids)[bi]))
                 camids.append(int(np.asarray(bcamids)[bi]))
-        if not feats:
+                n_items += 1
+                if len(pend[Sp]) >= ab_for(Sp):
+                    flush(Sp)
+        for Sp in sorted(pend):
+            flush(Sp, final=True)
+
+        if not n_items:
             raise ValueError(f"{name} loader yielded no tracklets")
-        features = (jnp.concatenate if keep_on_device else np.concatenate)(
-            feats, axis=0
-        )
+        rows = [out[i] for i in range(n_items)]
+        features = (jnp.stack if keep_on_device else np.stack)(rows, axis=0)
         print(
             f"Extracted features for {name} set, obtained "
             f"{features.shape[0]}-by-{features.shape[1]} matrix"

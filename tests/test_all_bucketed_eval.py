@@ -117,10 +117,42 @@ def test_bucketed_compile_count(tiny):
         return inner(v, x, a, m)
 
     ev._fwd_masked = counting
-    ev.extract(variables, batches, "query")
-    assert len(shapes) == len(lengths)
+    feats, pids, _, _ = ev.extract(variables, batches, "query")
+    # same-bucket tracklets batch together: one call per bucket here
+    assert len(shapes) == 3
     distinct = {s[1] for s in shapes}
     assert distinct == {8, 16, 32}  # buckets, not native lengths
+    assert feats.shape[0] == len(lengths)
+
+
+def test_bucketed_batching_preserves_order_and_features(tiny):
+    """Cross-tracklet same-bucket batching returns rows in input order,
+    equal to per-tracklet forwards."""
+    model, variables = tiny
+    lengths = [9, 3, 12, 5, 10, 4]  # interleaved buckets 16/8
+    batches = _tracklet_batches(model, lengths, seed=7)
+    ev = Evaluator(model, test_sample="all", clip_batch=1)  # tiny budget
+    feats, pids, camids, _ = ev.extract(variables, batches, "query")
+    for (imgs, bpid, bcam, adj), got in zip(batches, feats):
+        want = np.asarray(ev._fwd(variables, imgs, adj))[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    assert list(pids) == [t % 3 for t in range(len(lengths))]
+
+
+def test_bucketed_all_under_mesh(tiny):
+    """The bucketed path shards its batches over the mesh's dp axis and
+    matches the single-device result."""
+    from agrl_tpu.parallel import make_mesh
+
+    model, variables = tiny
+    lengths = [3, 9, 5, 4, 11, 6]
+    batches = _tracklet_batches(model, lengths, seed=9)
+    ev = Evaluator(model, test_sample="all")
+    f0, *_ = ev.extract(variables, batches, "query")
+    mesh = make_mesh(dp=4, mp=2)
+    with mesh:
+        f1, *_ = ev.extract(variables, batches, "query", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-4)
 
 
 def test_evaluate_end_to_end_all_bucketed(tiny):

@@ -79,16 +79,14 @@ def main():
     # ---------- per-component fwd+bwd ----------
     rows = []
 
-    def prof_stage(name, module, sub_params, x_np, extra=None):
+    def prof_stage(name, module, sub_params, x_np):
         """Time fwd and fwd+bwd (grad wrt params AND input) of one stage,
         in TRAIN mode (batch statistics computed, like the real step)."""
         x = jnp.asarray(x_np, jnp.bfloat16)
-        extra_args = extra or {}
 
         def fwd(p, x):
             out, _ = module.apply(
-                {"params": p}, x, train=True, mutable=["batch_stats"],
-                **extra_args,
+                {"params": p}, x, train=True, mutable=["batch_stats"]
             )
             return out
 
@@ -209,8 +207,8 @@ def main():
 
     for donate in (False, True):
         step = make_train_step(model, tx, aug=dict(flip_aug=True), donate=donate)
-        st = state if donate else state  # donated buffers: rebuild state each time
-        if donate:
+        st = state
+        if donate:  # donation consumes the buffers: use a fresh state
             st = create_train_state(
                 model, tx, jax.random.PRNGKey(0), seq_len=S, height=H, width=W,
                 batch_size=2,
