@@ -63,6 +63,29 @@ def load_checkpoint(template_tree, fpath: str):
     return state, meta
 
 
+def shape_filtered_merge(variables, source, cast_dtype=None):
+    """Copy every leaf of `source` whose flattened path exists in
+    `variables` with an identical shape; everything else is skipped and
+    reported. The single implementation behind BOTH --load-weights
+    (checkpoint dtypes preserved) and the torch weight converters
+    (cast_dtype=np.float32 — torch trees arrive as f64/torch dtypes).
+
+    Returns (new_variables, matched_paths, skipped_paths)."""
+    matched, skipped = [], []
+    new_vars = {}
+    for collection in variables:
+        flat_target = traverse_util.flatten_dict(variables[collection])
+        flat_source = traverse_util.flatten_dict(source.get(collection, {}))
+        for path, value in flat_source.items():
+            if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
+                flat_target[path] = np.asarray(value, dtype=cast_dtype)
+                matched.append(f"{collection}/" + "/".join(map(str, path)))
+            else:
+                skipped.append(f"{collection}/" + "/".join(map(str, path)))
+        new_vars[collection] = traverse_util.unflatten_dict(flat_target)
+    return new_vars, matched, skipped
+
+
 def load_weights_partial(variables, fpath: str):
     """Shape-filtered partial weight load (the --load-weights semantics).
 
@@ -85,17 +108,5 @@ def load_weights_partial(variables, fpath: str):
     if not isinstance(raw, dict) or "params" not in raw:
         raw = {"params": raw}  # bare params checkpoint
 
-    new_vars, matched, skipped = dict(variables), [], []
-    for collection, target in variables.items():
-        if collection not in raw:
-            continue
-        flat_target = traverse_util.flatten_dict(target)
-        flat_source = traverse_util.flatten_dict(raw[collection])
-        for path, value in flat_source.items():
-            if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
-                flat_target[path] = np.asarray(value)
-                matched.append(f"{collection}/" + "/".join(map(str, path)))
-            else:
-                skipped.append(f"{collection}/" + "/".join(map(str, path)))
-        new_vars[collection] = traverse_util.unflatten_dict(flat_target)
+    new_vars, matched, skipped = shape_filtered_merge(variables, raw)
     return (new_vars["params"] if bare else new_vars), matched, skipped

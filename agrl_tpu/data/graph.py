@@ -214,13 +214,20 @@ class GraphBuilder:
         sizes: list[tuple[int, int]],
         pose_dict: dict,
     ) -> np.ndarray:
-        """Look up per-frame poses by key (missing keys -> empty pose, the
-        reference's except-pass fallback) and build the adjacency."""
+        """Look up per-frame poses by key (missing OR malformed entries ->
+        empty pose — the reference wraps per-frame pose processing in a
+        bare except (dataset_loader.py:332-333), so a detector output with
+        the wrong keypoint count degrades the frame's part sets instead of
+        killing the loader)."""
         S = len(keys)
         poses = np.zeros((S, 18, 3), dtype=np.float64)
         for i, key in enumerate(keys):
             p = pose_dict.get(key)
             if p is not None:
-                poses[i] = np.asarray(p, dtype=np.float64)[:18]
+                try:
+                    arr = np.asarray(p, dtype=np.float64)[:18]
+                    poses[i, : arr.shape[0]] = arr
+                except (ValueError, IndexError):
+                    pass  # ragged/short pose -> empty part sets
         heights = np.asarray([s[1] for s in sizes], dtype=np.float64)
         return self(poses, heights)

@@ -125,15 +125,15 @@ class VideoClipDataset:
     def _clip_adj(self, paths, sizes):
         if not self.graph_builder.enable_pose:
             return self.graph_builder.ones(self.seq_len)
-        S = len(paths)
-        poses = np.zeros((S, 18, 3))
-        for i, p in enumerate(paths):
+        keys = []
+        for p in paths:
             try:
-                poses[i] = self.pose_info[self.key_fn(p)][:18]
-            except (KeyError, ValueError):
-                pass  # missing pose -> empty part sets (reference fallback)
-        heights = np.asarray([s[1] for s in sizes], dtype=np.float64)
-        return self.graph_builder(poses, heights)
+                keys.append(self.key_fn(p))
+            except Exception:
+                keys.append(None)  # unparseable path -> empty part sets
+        # missing/malformed poses degrade per frame (reference fallback,
+        # dataset_loader.py:332-333) — from_pose_dict owns that contract
+        return self.graph_builder.from_pose_dict(keys, sizes, self.pose_info)
 
     def get_item(self, index: int, rng: np.random.RandomState | None = None):
         if self.cache is not None and self._cache_items:

@@ -179,22 +179,13 @@ def convert_torch_state_dict(state_dict: dict):
 
 
 def merge_converted(variables, converted):
-    """Shape-filtered merge of a converted tree into model variables.
+    """Shape-filtered merge of a converted tree into model variables
+    (f32 cast: torch trees arrive as f64/torch dtypes).
 
     Returns (new_variables, matched_paths, skipped_paths)."""
-    matched, skipped = [], []
-    new_vars = {}
-    for collection in variables:
-        flat_target = traverse_util.flatten_dict(variables[collection])
-        flat_source = traverse_util.flatten_dict(converted.get(collection, {}))
-        for path, value in flat_source.items():
-            if path in flat_target and np.shape(value) == np.shape(flat_target[path]):
-                flat_target[path] = np.asarray(value, dtype=np.float32)
-                matched.append(f"{collection}/" + "/".join(map(str, path)))
-            else:
-                skipped.append(f"{collection}/" + "/".join(map(str, path)))
-        new_vars[collection] = traverse_util.unflatten_dict(flat_target)
-    return new_vars, matched, skipped
+    from agrl_tpu.core.checkpoint import shape_filtered_merge
+
+    return shape_filtered_merge(variables, converted, cast_dtype=np.float32)
 
 
 def convert_graphnet_state_dict(state_dict: dict, arch: str):

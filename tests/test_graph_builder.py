@@ -99,3 +99,28 @@ def test_from_pose_dict_missing_keys():
     ts = gb.total_split
     # frame 2's vertices have no intra-frame pose edges; frame 1 may
     assert adj.shape == (2 * ts, 2 * ts)
+
+
+def test_from_pose_dict_malformed_entries_degrade_per_frame():
+    """A ragged/short pose entry (detector dropped keypoints) must not
+    kill the loader — the reference's bare except degrades that frame to
+    empty part sets (dataset_loader.py:332-333); short entries keep the
+    keypoints they have."""
+    from agrl_tpu.data.graph import GraphBuilder
+
+    gb = GraphBuilder(num_split=4, pyramid_part=True, enable_pose=True)
+    good = np.zeros((18, 3))
+    good[:, 1] = 64.0
+    good[:, 2] = 0.9
+    pose_dict = {
+        "ok": good,
+        "short": good[:17],           # 17 keypoints: used as-is
+        "ragged": [[1.0, 2.0], [3.0]],  # unparseable: empty part sets
+        "flat": np.arange(10.0),      # wrong rank: empty part sets
+    }
+    keys = ["ok", "short", "missing", "ragged", "flat", None]
+    sizes = [(64, 128)] * len(keys)
+    adj = gb.from_pose_dict(keys, sizes, pose_dict)
+    V = len(keys) * gb.total_split
+    assert adj.shape == (V, V)
+    assert np.isfinite(adj).all()
