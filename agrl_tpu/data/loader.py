@@ -124,7 +124,11 @@ class VideoClipDataset:
 
     def _clip_adj(self, paths, sizes):
         if not self.graph_builder.enable_pose:
-            return self.graph_builder.ones(self.seq_len)
+            # size by the ACTUAL clip length: under `--test-sample all` a
+            # clip carries the whole tracklet (len != seq_len), and the
+            # bucketed evaluator derives vertices-per-frame from the
+            # adjacency shape (engine/evaluator.py)
+            return self.graph_builder.ones(len(paths))
         keys = []
         for p in paths:
             try:

@@ -200,8 +200,15 @@ class Evaluator:
         and same-bucket tracklets batch together up to a ~clip_batch*8
         frame budget (dp-padded under a mesh), so features equal the
         unpadded forward while only O(log) shapes compile — at real device
-        batch sizes instead of the reference's batch 1."""
-        total_split = self.model.total_split
+        batch sizes instead of the reference's batch 1.
+
+        The per-frame vertex count comes from the adjacency itself
+        (frame-major layout, trailing frames pad at trailing indices), so
+        archs that ignore the adjacency (sta/res50tp/resnet50_s1) bucket
+        too. msppn/msppgn deliberately do NOT set supports_frame_mask:
+        their vertices are split-major across 3 feature scales, so a
+        trailing-block adjacency pad would land on the wrong vertices —
+        they keep the reference's per-length dynamic path."""
         dp = mesh.shape["dp"] if mesh is not None and mesh.size > 1 else 1
         frame_budget = max(self.clip_batch, 1) * 8
         runner = self._make_masked_runner(variables, mesh)
@@ -249,15 +256,21 @@ class Evaluator:
         for imgs, bpids, bcamids, adjs in loader:
             for bi in range(imgs.shape[0]):
                 clip = imgs[bi]  # (num, H, W, 3)
-                adj = adjs[bi]  # (V, V), V = num * total_split
+                adj = adjs[bi]  # (V, V), V = num * vertices-per-frame
                 num = clip.shape[0]
+                assert adj.shape[0] % num == 0, (
+                    f"adjacency ({adj.shape[0]} vertices) is not a multiple "
+                    f"of the frame count ({num}); bucketed 'all' eval needs "
+                    "the frame-major single-scale layout"
+                )
+                ts = adj.shape[0] // num
                 Sp = self._bucket_len(num)
                 if Sp > num:
                     pad = Sp - num
                     clip = np.concatenate(
                         [clip, np.zeros((pad, *clip.shape[1:]), clip.dtype)]
                     )
-                    Vp = Sp * total_split
+                    Vp = Sp * ts
                     adj_p = np.zeros((Vp, Vp), adj.dtype)
                     adj_p[: adj.shape[0], : adj.shape[1]] = adj
                     adj = adj_p

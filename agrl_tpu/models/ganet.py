@@ -105,8 +105,15 @@ class GANet(nn.Module):
     def total_split(self):
         return sum(self.total_split_list)
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
         if self.dtype is not None:
@@ -119,6 +126,16 @@ class GANet(nn.Module):
         if self.dtype is not None:
             fmap = fmap.astype(jnp.float32)
         _, h, w, c = fmap.shape
+
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)  # (B, S)
+            # PAM is frame-local, so padding frames only touch their own
+            # vertices; the graph layers and the attention fusion exclude
+            # them via vertex_mask/frame_mask below
+            vmask = jnp.repeat(fm, self.total_split, axis=1)  # frame-major
+        else:
+            fm = vmask = None
 
         pam = PAM(self.feature_dim, name="pam_layer")
         v_f = []
@@ -143,7 +160,7 @@ class GANet(nn.Module):
                     mask_diag=True,
                     residual="additive",
                     name=f"graph_layer_{i}",
-                )(gl_out[-1], adj, train=train)
+                )(gl_out[-1], adj, train=train, vertex_mask=vmask)
             )
         f = jnp.concatenate(gl_out, axis=2).reshape(
             B, S, self.total_split, (self.num_gb + 1) * c
@@ -157,7 +174,7 @@ class GANet(nn.Module):
             name="classifier",
         )
 
-        f_g = temporal_attention(f).mean(axis=1)
+        f_g = temporal_attention(f, frame_mask=fm).mean(axis=1)
         bn = bottleneck(f_g, train=train)
         if not train:
             return bn

@@ -34,8 +34,15 @@ class ResNet50TP(nn.Module):
     parts: int = 4
     feature_dim: int = 2048
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj=None, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, adj=None, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
         x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
@@ -47,7 +54,12 @@ class ResNet50TP(nn.Module):
         v_g = jnp.einsum(
             "nh,bhc->bnc", adaptive_avg_pool_matrix(h, self.parts), fmap.mean(axis=2)
         ).reshape(B, S, self.parts, c)
-        t_a = l1_normalize(jnp.linalg.norm(v_g, axis=3, keepdims=True), axis=1)
+        att = jnp.linalg.norm(v_g, axis=3, keepdims=True)
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            # padding frames weigh exactly 0 in the temporal fusion
+            att = att * frame_mask.astype(jnp.float32)[:, :, None, None]
+        t_a = l1_normalize(att, axis=1)
         f = (v_g * t_a).sum(axis=1).mean(axis=1)  # (B, c)
 
         bn = BNNeck(name="bottleneck")(f, train=train)
@@ -70,9 +82,18 @@ class ResNet50S1(nn.Module):
     last_stride: int = 1
     feature_dim: int = 2048
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj=None, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, adj=None, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         B, S, H, W, C = x.shape
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
         x = x.reshape(B * S, H, W, C)
         x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
         fmap = ResLayer(
@@ -82,7 +103,13 @@ class ResNet50S1(nn.Module):
         bn = BNNeck(name="bottleneck")(f, train=train)
 
         if not train:
-            return bn.reshape(B, S, -1).mean(axis=1)
+            bnr = bn.reshape(B, S, -1)
+            if frame_mask is not None:
+                # masked frame mean: eval BN is per-element, so padding
+                # rows never touch real ones
+                fm = frame_mask.astype(jnp.float32)
+                return (bnr * fm[:, :, None]).sum(axis=1) / fm.sum(axis=1)[:, None]
+            return bnr.mean(axis=1)
         f_mean = f.reshape(B, S, -1).mean(axis=1)
         y = nn.Dense(
             self.num_classes, use_bias=False, kernel_init=graph_linear_init, name="classifier"

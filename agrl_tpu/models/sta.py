@@ -38,8 +38,15 @@ class STA(nn.Module):
     parts: int = 4
     simple: bool = False  # simple_sta: skip the spatial normalization step
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj=None, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, adj=None, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
         B, S, H, W, C = x.shape
         x = x.reshape(B * S, H, W, C)
         x = ResNetTrunk(Bottleneck, self.layers, name="trunk")(x, train=train)
@@ -49,6 +56,12 @@ class STA(nn.Module):
         _, h, w, c = fmap.shape
         pool_m = adaptive_avg_pool_matrix(h, self.parts)
 
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)  # (B, S)
+        else:
+            fm = None
+
         # part features: (B, S, parts, c)
         v_g = jnp.einsum("nh,bhc->bnc", pool_m, fmap.mean(axis=2)).reshape(
             B, S, self.parts, c
@@ -56,9 +69,13 @@ class STA(nn.Module):
 
         if self.simple:
             # simple_sta.py:205-208: attention from part-feature norms
-            t_a = l1_normalize(
-                jnp.linalg.norm(v_g, axis=3, keepdims=True), axis=1
-            )  # (B, S, parts, 1)
+            att = jnp.linalg.norm(v_g, axis=3, keepdims=True)  # (B, S, parts, 1)
+            if fm is not None:
+                # padding frames score exactly 0 -> excluded from the L1
+                # normalization, from f_2's weighted sum, and from f_1's
+                # argmax (real scores are positive)
+                att = att * fm[:, :, None, None]
+            t_a = l1_normalize(att, axis=1)  # (B, S, parts, 1)
         else:
             # sta.py:209-216: pixel norm map, L2-normalized per frame
             g_a = jnp.linalg.norm(fmap, axis=3)  # (B*S, h, w)
@@ -68,6 +85,8 @@ class STA(nn.Module):
             s_a = jnp.einsum("nh,bh->bn", pool_m, g_a.mean(axis=2)).reshape(
                 B, S, self.parts
             )
+            if fm is not None:
+                s_a = s_a * fm[:, :, None]
             t_a = l1_normalize(s_a, axis=1)[..., None]  # (B, S, parts, 1)
 
         # f_1: per-part features of the highest-scoring frame

@@ -184,6 +184,88 @@ def test_unsupported_model_falls_back(tiny):
     assert ev._fwd_masked is None
 
 
+def _assert_masked_equals_unpadded(model, variables, num, Sp, H, W, seed, atol=2e-4):
+    """Padded forward + frame_mask must equal the unpadded forward."""
+    ts = getattr(model, "total_split", 1)
+    r = np.random.RandomState(seed)
+    V, Vp = num * ts, Sp * ts
+    x = r.rand(2, num, H, W, 3).astype(np.float32)
+    adj = (r.rand(2, V, V) > 0.4).astype(np.float32)
+    want = model.apply(variables, x, adj, train=False)
+
+    xp = np.zeros((2, Sp, H, W, 3), np.float32)
+    xp[:, :num] = x
+    adjp = np.zeros((2, Vp, Vp), np.float32)
+    adjp[:, :V, :V] = adj
+    fmask = np.zeros((2, Sp), np.float32)
+    fmask[:, :num] = 1.0
+    got = model.apply(variables, xp, adjp, train=False, frame_mask=fmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol)
+
+
+def _masked_model_cases():
+    from agrl_tpu.models.ganet import GANet
+    from agrl_tpu.models.res50tp import ResNet50S1, ResNet50TP
+    from agrl_tpu.models.sta import STA
+
+    # ganet/sta need h = H/16 >= num_split/parts for their stripe slicing
+    return [
+        ("ganet", GANet(num_classes=4, layers=(1, 1, 1, 1), num_split=4,
+                        pyramid_part=True, num_gb=2), 64, 32),
+        ("sta", STA(num_classes=4, layers=(1, 1, 1, 1)), 64, 32),
+        ("simple_sta", STA(num_classes=4, layers=(1, 1, 1, 1), simple=True), 64, 32),
+        ("res50tp", ResNet50TP(num_classes=4, layers=(1, 1, 1, 1)), 32, 16),
+        ("resnet50_s1", ResNet50S1(num_classes=4, layers=(1, 1, 1, 1)), 32, 16),
+    ]
+
+
+@pytest.mark.parametrize("name,model,H,W", _masked_model_cases(),
+                         ids=[c[0] for c in _masked_model_cases()])
+def test_masked_forward_equals_unpadded_all_archs(name, model, H, W):
+    """Every factory arch except msppn/msppgn implements the frame-mask
+    contract (those two keep the dynamic path: split-major 3-scale
+    vertices can't trailing-pad their adjacency)."""
+    assert model.supports_frame_mask
+    variables = init_params(
+        model, jax.random.PRNGKey(5), seq_len=4, height=H, width=W, batch_size=2
+    )
+    for num, Sp in [(3, 8), (11, 16)]:
+        _assert_masked_equals_unpadded(model, variables, num, Sp, H, W, seed=num)
+
+
+def test_msppgn_keeps_dynamic_path():
+    from agrl_tpu.models.graphnet import MSPyraPartGraphNet, MSPyraPartNet
+
+    assert not getattr(MSPyraPartGraphNet, "supports_frame_mask", False)
+    assert not getattr(MSPyraPartNet, "supports_frame_mask", False)
+
+
+def test_bucketed_extract_without_total_split_attr():
+    """Archs that ignore the adjacency (no model.total_split) also run the
+    bucketed 'all' path: the vertex count is inferred from the adjacency."""
+    from agrl_tpu.models.sta import STA
+
+    model = STA(num_classes=4, layers=(1, 1, 1, 1), simple=True)
+    variables = init_params(
+        model, jax.random.PRNGKey(6), seq_len=4, height=64, width=32, batch_size=2
+    )
+    r = np.random.RandomState(8)
+    lengths = [3, 9, 5, 12]
+    batches = []
+    for t, num in enumerate(lengths):
+        imgs = (r.rand(1, num, 64, 32, 3) * 255).astype(np.uint8)
+        adj = np.ones((1, num, num), np.float32)  # ts=1 (use_pose off)
+        batches.append((imgs, np.asarray([t % 3]), np.asarray([t % 2]), adj))
+
+    ev = Evaluator(model, test_sample="all")
+    assert ev._fwd_masked is not None
+    feats, pids, camids, _ = ev.extract(variables, batches, "query")
+    for (imgs, bpid, bcam, adj), got in zip(batches, feats):
+        want = np.asarray(ev._fwd(variables, imgs, adj))[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    assert list(pids) == [t % 3 for t in range(len(lengths))]
+
+
 def test_gsta_masked_forward_equals_unpadded():
     """GSTA also supports frame_mask: padded forward == unpadded."""
     from agrl_tpu.models.gsta import GSTA

@@ -114,6 +114,22 @@ class TestLoader:
         _, _, _, adj = ds.get_item(0, np.random.RandomState(0))
         assert (adj == 1).all()
 
+    def test_no_pose_all_sampling_adj_sized_by_clip(self, synth):
+        """`--test-sample all` without pose: the adjacency must be sized by
+        the ACTUAL tracklet length, not seq_len — the bucketed evaluator
+        derives vertices-per-frame from adj.shape[0] / num_frames
+        (regression: ones(seq_len) crashed `all` eval on sta/res50tp)."""
+        ds = VideoClipDataset(
+            synth.query, seq_len=4, sample="all", height=64, width=32,
+            enable_pose=False, num_split=4, pyramid_part=True,
+        )
+        ts = ds.graph_builder.total_split * ds.graph_builder.num_scale
+        for i in range(len(ds)):
+            imgs, _, _, adj = ds.get_item(i, np.random.RandomState(0))
+            num = imgs.shape[0]
+            assert adj.shape == (num * ts, num * ts)
+            assert (adj == 1).all()
+
 
 class TestDeviceTransforms:
     def make(self, B=2, S=4, H=16, W=8):
