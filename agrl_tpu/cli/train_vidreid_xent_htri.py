@@ -273,6 +273,17 @@ def run(args):
         bnneck=args.bnneck,
         dtype=jnp.bfloat16 if args.bf16_train else jnp.float32,
     )
+    # pre-flight: msppn/msppgn vertices span a FIXED number of feature
+    # scales — a mismatched --num-scale adjacency would only surface as a
+    # cryptic XLA broadcast error deep in the graph blocks
+    model_scales = getattr(model, "num_vertex_scales", None)
+    if model_scales is not None and args.num_scale != model_scales:
+        raise SystemExit(
+            f"arch '{args.arch}' builds {model_scales} vertex scales "
+            f"(layer2/3/4) but --num-scale is {args.num_scale}; pass "
+            f"--num-scale {model_scales} so the pose adjacency matches "
+            "the model's vertex count"
+        )
 
     # schedules: epoch-indexed like the reference scheduler.step(epoch).
     # NOTE: RandomIdentitySampler's epoch length is stochastic (pids leave

@@ -205,10 +205,11 @@ class Evaluator:
         The per-frame vertex count comes from the adjacency itself
         (frame-major layout, trailing frames pad at trailing indices), so
         archs that ignore the adjacency (sta/res50tp/resnet50_s1) bucket
-        too. msppn/msppgn deliberately do NOT set supports_frame_mask:
-        their vertices are split-major across 3 feature scales, so a
-        trailing-block adjacency pad would land on the wrong vertices —
-        they keep the reference's per-length dynamic path."""
+        too. msppn/msppgn — whose vertices are split-major across 3
+        feature scales, where a trailing-block pad would land on the
+        wrong vertices — own their padding via a `pad_eval_adjacency`
+        hook (models/graphnet.py scatters entries to the flat positions
+        their model vertices occupy after S -> Sp)."""
         dp = mesh.shape["dp"] if mesh is not None and mesh.size > 1 else 1
         frame_budget = max(self.clip_batch, 1) * 8
         runner = self._make_masked_runner(variables, mesh)
@@ -253,27 +254,33 @@ class Evaluator:
                 for (idx, *_), row in zip(chunk, f[:take]):
                     out[idx] = row
 
+        pad_adj = getattr(self.model, "pad_eval_adjacency", None)
         for imgs, bpids, bcamids, adjs in loader:
             for bi in range(imgs.shape[0]):
                 clip = imgs[bi]  # (num, H, W, 3)
                 adj = adjs[bi]  # (V, V), V = num * vertices-per-frame
                 num = clip.shape[0]
-                assert adj.shape[0] % num == 0, (
-                    f"adjacency ({adj.shape[0]} vertices) is not a multiple "
-                    f"of the frame count ({num}); bucketed 'all' eval needs "
-                    "the frame-major single-scale layout"
-                )
-                ts = adj.shape[0] // num
                 Sp = self._bucket_len(num)
                 if Sp > num:
                     pad = Sp - num
                     clip = np.concatenate(
                         [clip, np.zeros((pad, *clip.shape[1:]), clip.dtype)]
                     )
-                    Vp = Sp * ts
-                    adj_p = np.zeros((Vp, Vp), adj.dtype)
-                    adj_p[: adj.shape[0], : adj.shape[1]] = adj
-                    adj = adj_p
+                    if pad_adj is not None:
+                        # split-major archs scatter entries themselves
+                        adj = pad_adj(adj, num, Sp)
+                    else:
+                        assert adj.shape[0] % num == 0, (
+                            f"adjacency ({adj.shape[0]} vertices) is not a "
+                            f"multiple of the frame count ({num}); bucketed "
+                            "'all' eval needs the frame-major layout (or a "
+                            "model pad_eval_adjacency hook)"
+                        )
+                        ts = adj.shape[0] // num
+                        Vp = Sp * ts
+                        adj_p = np.zeros((Vp, Vp), adj.dtype)
+                        adj_p[: adj.shape[0], : adj.shape[1]] = adj
+                        adj = adj_p
                 fmask = np.zeros(Sp, np.float32)
                 fmask[:num] = 1.0
                 pend.setdefault(Sp, []).append((n_items, clip, adj, fmask))

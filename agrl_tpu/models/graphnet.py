@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from agrl_tpu.models.backbone import (
@@ -60,6 +61,40 @@ class MultiScaleTrunk(nn.Module):
         f2 = ResLayer(Bottleneck, 256, self.layers[2], stride=2, name="layer3")(f1, train=train)
         f3 = ResLayer(Bottleneck, 512, self.layers[3], stride=2, name="layer4")(f2, train=train)
         return f1, f2, f3
+
+
+def _masked_temporal_mean(f, B, num_v, S, dim, fm):
+    """(B, V*S, dim) split-major vertices -> per-vertex mean over REAL
+    frames only (`fm` (B, S) 0/1; None = plain mean)."""
+    vf = f.reshape(B, num_v, S, dim)
+    if fm is None:
+        return vf.mean(axis=2)
+    w = fm[:, None, :, None]
+    return (vf * w).sum(axis=2) / jnp.maximum(
+        fm.sum(axis=1)[:, None, None], 1e-6
+    )
+
+
+def _pad_eval_adjacency_split_major(adj, num, Sp, ts):
+    """Frame-pad an adjacency consumed through the SPLIT-MAJOR vertex
+    layout (level*(ts*S) + part*S + frame, graphnet.py:194-200): entry
+    (i, j) moves to the flat position its model vertex occupies after
+    S -> Sp, so the padded graph propagation pairs exactly the vertices
+    the unpadded run pairs. (The frame-major archs pad a trailing block
+    instead — engine/evaluator.py.)"""
+    V = adj.shape[0]
+    assert V % (ts * num) == 0, (
+        f"adjacency ({V} vertices) is not a multiple of total_split*num "
+        f"({ts}*{num}); split-major frame padding needs that layout"
+    )
+    blocks = V // (ts * num)  # vertex scales (3 for msppn/msppgn)
+    idx = np.arange(V)
+    level, r = idx // (ts * num), idx % (ts * num)
+    part, frame = r // num, r % num
+    m = level * (ts * Sp) + part * Sp + frame
+    out = np.zeros((blocks * ts * Sp, blocks * ts * Sp), adj.dtype)
+    out[np.ix_(m, m)] = adj
+    return out
 
 
 def _pool_level(fmap, B, S, total_parts):
@@ -105,6 +140,13 @@ class MSPyraPartNet(nn.Module):
     # that ModuleList holds EVERY per-vertex + fused head
     count_exclude_heads = ("classifier_",)
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
+    def pad_eval_adjacency(self, adj, num, Sp):
+        return _pad_eval_adjacency_split_major(adj, num, Sp, self.total_split)
+
     @property
     def num_vertex_scales(self):
         return 3  # vertices span layer2/3/4 feature scales
@@ -134,10 +176,17 @@ class MSPyraPartNet(nn.Module):
         return jnp.concatenate([l1, l2, l3], axis=1), B, S  # (B, 3*total*S, hid)
 
     @nn.compact
-    def __call__(self, x, adj=None, *, train: bool = False):
+    def __call__(
+        self, x, adj=None, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
+        fm = None
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)
         f, B, S = self._vertices(x, train=train)
         num_v = 3 * self.total_split
-        vf = f.reshape(B, num_v, S, self.num_hid).mean(axis=2)  # (B, V, hid)
+        vf = _masked_temporal_mean(f, B, num_v, S, self.num_hid, fm)
         return _heads(self, vf, B, num_v, self.num_hid, train)
 
 
@@ -157,6 +206,13 @@ class MSPyraPartGraphNet(nn.Module):
     # msppgn's heads are `classifiers` -> nothing excluded
     count_exclude_heads = ()
 
+    # eval forward accepts frame_mask: enables the fixed-shape bucketing
+    # of `--test-sample all` (engine/evaluator.py; see VMGN for contract)
+    supports_frame_mask = True
+
+    def pad_eval_adjacency(self, adj, num, Sp):
+        return _pad_eval_adjacency_split_major(adj, num, Sp, self.total_split)
+
     @property
     def num_vertex_scales(self):
         return 3  # vertices span layer2/3/4 feature scales
@@ -170,7 +226,16 @@ class MSPyraPartGraphNet(nn.Module):
         return sum(self.total_parts)
 
     @nn.compact
-    def __call__(self, x, adj, *, train: bool = False):
+    def __call__(
+        self, x, adj, *, train: bool = False,
+        frame_mask: jnp.ndarray | None = None,
+    ):
+        fm = vmask = None
+        if frame_mask is not None:
+            assert not train, "frame_mask is an eval-only contract (batch BN mixes rows)"
+            fm = frame_mask.astype(jnp.float32)  # (B, S)
+            # split-major vertex layout: index v -> frame v % S
+            vmask = jnp.tile(fm, (1, 3 * self.total_split))
         f, B, S = MSPyraPartNet._vertices(self, x, train=train)
         gb_out = [f]
         for i in range(self.num_gb):
@@ -181,11 +246,12 @@ class MSPyraPartGraphNet(nn.Module):
                     learn_graph=self.learn_graph,
                     use_pose=self.use_pose,
                     name=f"gb_{i}",
-                )(gb_out[-1], adj, train=train)
+                )(gb_out[-1], adj, train=train, vertex_mask=vmask)
             )
         num_v = 3 * self.total_split
         dim = (self.num_gb + 1) * self.num_hid
-        f = jnp.stack(gb_out, axis=2).reshape(B, num_v, S, dim).mean(axis=2)
+        f = jnp.stack(gb_out, axis=2).reshape(B, num_v * S, dim)
+        f = _masked_temporal_mean(f, B, num_v, S, dim, fm)
         return _heads(self, f, B, num_v, dim, train)
 
 

@@ -169,23 +169,43 @@ class GraphBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool,
+        vertex_mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """`vertex_mask` (B, V) of 0/1 marks PADDING vertices (0). Unlike
+        GraphConvLayer's L1-normalized affinity, the learned graph here is
+        a SOFTMAX — padding columns are excluded by -1e9 logits (their
+        exp underflows to exactly 0 in f32 after the row-max shift, so
+        real rows aggregate exactly the unpadded neighbor set; all-pad
+        rows degrade to uniform weights and stay finite — their outputs
+        are dropped by the caller's masked temporal mean)."""
         h = nn.Dense(
             self.out_features, use_bias=False, kernel_init=classifier_init, name="linear"
         )(x)
         B, V, C = h.shape
+        pair = (
+            None
+            if vertex_mask is None
+            else vertex_mask[:, :, None] * vertex_mask[:, None, :]
+        )
 
         if self.use_pose:
+            if pair is not None:
+                adj = adj * pair
             adj = l1_normalize(adj, axis=2)
         if self.learn_graph:
             q = nn.Dense(128, kernel_init=classifier_init, name="emb_q")(h)
             k = nn.Dense(128, kernel_init=classifier_init, name="emb_k")(h)
-            graph = jax.nn.softmax(
-                jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32),
-                axis=2,
-            )
+            logits = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
+            if pair is not None:
+                logits = jnp.where(pair > 0, logits, -1e9)
+            graph = jax.nn.softmax(logits, axis=2)
             if self.self_loop:
-                graph = jax.nn.softmax(graph + jnp.eye(V)[None], axis=2)
+                logits2 = graph + jnp.eye(V)[None]
+                if pair is not None:
+                    logits2 = jnp.where(pair > 0, logits2, -1e9)
+                graph = jax.nn.softmax(logits2, axis=2)
             if self.use_pose:
                 graph = (adj + self.gamma * graph) / (1.0 + self.gamma)
         else:

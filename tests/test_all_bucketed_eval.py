@@ -233,11 +233,73 @@ def test_masked_forward_equals_unpadded_all_archs(name, model, H, W):
         _assert_masked_equals_unpadded(model, variables, num, Sp, H, W, seed=num)
 
 
-def test_msppgn_keeps_dynamic_path():
-    from agrl_tpu.models.graphnet import MSPyraPartGraphNet, MSPyraPartNet
+def _msppn_cases():
+    from agrl_tpu.models.graphnet import msppgn, msppn
 
-    assert not getattr(MSPyraPartGraphNet, "supports_frame_mask", False)
-    assert not getattr(MSPyraPartNet, "supports_frame_mask", False)
+    return [
+        ("msppn", msppn(num_classes=4, num_split=4, layers=(1, 1, 1, 1))),
+        ("msppgn", msppgn(num_classes=4, num_split=2, num_gb=2,
+                          layers=(1, 1, 1, 1))),
+        ("msppgn_pose_only", msppgn(num_classes=4, num_split=2, num_gb=1,
+                                    learn_graph=False, layers=(1, 1, 1, 1))),
+    ]
+
+
+@pytest.mark.parametrize("name,model", _msppn_cases(),
+                         ids=[c[0] for c in _msppn_cases()])
+def test_msppn_masked_forward_equals_unpadded(name, model):
+    """msppn/msppgn vertices are SPLIT-MAJOR over 3 feature scales: the
+    model owns its adjacency padding (pad_eval_adjacency scatters entries
+    to post-pad flat positions) and the GraphBlock's softmax affinity
+    masks by -1e9 logits. Padded forward must equal unpadded exactly."""
+    assert model.supports_frame_mask
+    H, W = 64, 32
+    variables = init_params(
+        model, jax.random.PRNGKey(3), seq_len=4, height=H, width=W, batch_size=2
+    )
+    ts = model.total_split
+    r = np.random.RandomState(11)
+    for num, Sp in [(3, 8), (11, 16)]:
+        V = 3 * num * ts  # num_scale=3 adjacency (scale-frame-major)
+        x = r.rand(2, num, H, W, 3).astype(np.float32)
+        adj = (r.rand(2, V, V) > 0.4).astype(np.float32)
+        want = model.apply(variables, x, adj, train=False)
+
+        xp = np.zeros((2, Sp, H, W, 3), np.float32)
+        xp[:, :num] = x
+        adjp = np.stack([model.pad_eval_adjacency(a, num, Sp) for a in adj])
+        fmask = np.zeros((2, Sp), np.float32)
+        fmask[:, :num] = 1.0
+        got = model.apply(variables, xp, adjp, train=False, frame_mask=fmask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_msppgn_bucketed_extract_equals_unbucketed():
+    """Evaluator-level: the bucketed 'all' path routes msppgn adjacency
+    padding through the model hook and matches per-tracklet forwards."""
+    from agrl_tpu.models.graphnet import msppgn
+
+    model = msppgn(num_classes=4, num_split=2, num_gb=1, layers=(1, 1, 1, 1))
+    variables = init_params(
+        model, jax.random.PRNGKey(4), seq_len=4, height=64, width=32, batch_size=2
+    )
+    ts = model.total_split
+    r = np.random.RandomState(12)
+    lengths = [3, 9, 5, 12]
+    batches = []
+    for t, num in enumerate(lengths):
+        V = 3 * num * ts
+        imgs = (r.rand(1, num, 64, 32, 3) * 255).astype(np.uint8)
+        adj = (r.rand(1, V, V) > 0.5).astype(np.float32)
+        batches.append((imgs, np.asarray([t % 3]), np.asarray([t % 2]), adj))
+
+    ev = Evaluator(model, test_sample="all")
+    assert ev._fwd_masked is not None
+    feats, pids, camids, _ = ev.extract(variables, batches, "query")
+    for (imgs, bpid, bcam, adj), got in zip(batches, feats):
+        want = np.asarray(ev._fwd(variables, imgs, adj))[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    assert list(pids) == [t % 3 for t in range(len(lengths))]
 
 
 def test_bucketed_extract_without_total_split_attr():
