@@ -273,17 +273,33 @@ def run(args):
         bnneck=args.bnneck,
         dtype=jnp.bfloat16 if args.bf16_train else jnp.float32,
     )
-    # pre-flight: msppn/msppgn vertices span a FIXED number of feature
-    # scales — a mismatched --num-scale adjacency would only surface as a
-    # cryptic XLA broadcast error deep in the graph blocks
-    model_scales = getattr(model, "num_vertex_scales", None)
-    if model_scales is not None and args.num_scale != model_scales:
-        raise SystemExit(
-            f"arch '{args.arch}' builds {model_scales} vertex scales "
-            f"(layer2/3/4) but --num-scale is {args.num_scale}; pass "
-            f"--num-scale {model_scales} so the pose adjacency matches "
-            "the model's vertex count"
-        )
+    # pre-flight: msppgn's GraphBlocks consume the pose adjacency only when
+    # blending with it (use_pose) or using it outright (learn_graph off),
+    # and then its vertices span a FIXED number of feature scales — a
+    # mismatched --num-scale adjacency would only surface as a cryptic XLA
+    # broadcast error deep in the graph blocks. msppn never reads the
+    # adjacency, so any --num-scale runs (expected_adj_scales is None).
+    model_scales = getattr(model, "expected_adj_scales", None)
+    if model_scales is not None:
+        if args.num_scale != model_scales:
+            raise SystemExit(
+                f"arch '{args.arch}' consumes a {model_scales}-scale "
+                f"adjacency (vertices span layer2/3/4) but --num-scale is "
+                f"{args.num_scale}; pass --num-scale {model_scales} so the "
+                "pose adjacency matches the model's vertex count"
+            )
+        # graphnet models ALWAYS pool pyramid parts (calc_splits, reference
+        # graphnet.py:228) — the data-side graph must be built with the
+        # same per-frame part count or every forward shape-errors
+        data_split = train_ds.graph_builder.total_split
+        if data_split != model.total_split:
+            raise SystemExit(
+                f"arch '{args.arch}' pools {model.total_split} pyramid "
+                f"parts per frame (calc_splits({args.num_split})) but the "
+                f"pose graph is built with {data_split}; pass "
+                "--pyramid-part (and a matching --num-split) so the "
+                "adjacency layout matches the model's vertices"
+            )
 
     # schedules: epoch-indexed like the reference scheduler.step(epoch).
     # NOTE: RandomIdentitySampler's epoch length is stochastic (pids leave

@@ -18,6 +18,7 @@ Behavioral parity with reference torchreid/models/graphnet.py:120-320:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 import jax.numpy as jnp
@@ -75,6 +76,18 @@ def _masked_temporal_mean(f, B, num_v, S, dim, fm):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _split_major_pad_indices(V, num, Sp, ts):
+    """Post-pad flat position of every split-major vertex: index
+    level*(ts*num) + part*num + frame -> level*(ts*Sp) + part*Sp + frame.
+    Cached — buckets mean only O(log max_len) distinct (num, Sp) pairs
+    recur across an eval epoch's thousands of tracklets."""
+    idx = np.arange(V)
+    level, r = idx // (ts * num), idx % (ts * num)
+    part, frame = r // num, r % num
+    return level * (ts * Sp) + part * Sp + frame
+
+
 def _pad_eval_adjacency_split_major(adj, num, Sp, ts):
     """Frame-pad an adjacency consumed through the SPLIT-MAJOR vertex
     layout (level*(ts*S) + part*S + frame, graphnet.py:194-200): entry
@@ -88,10 +101,7 @@ def _pad_eval_adjacency_split_major(adj, num, Sp, ts):
         f"({ts}*{num}); split-major frame padding needs that layout"
     )
     blocks = V // (ts * num)  # vertex scales (3 for msppn/msppgn)
-    idx = np.arange(V)
-    level, r = idx // (ts * num), idx % (ts * num)
-    part, frame = r // num, r % num
-    m = level * (ts * Sp) + part * Sp + frame
+    m = _split_major_pad_indices(V, num, Sp, ts)
     out = np.zeros((blocks * ts * Sp, blocks * ts * Sp), adj.dtype)
     out[np.ix_(m, m)] = adj
     return out
@@ -150,6 +160,10 @@ class MSPyraPartNet(nn.Module):
     @property
     def num_vertex_scales(self):
         return 3  # vertices span layer2/3/4 feature scales
+
+    @property
+    def expected_adj_scales(self):
+        return None  # msppn never reads the adjacency (any --num-scale runs)
 
     @property
     def total_parts(self):
@@ -216,6 +230,13 @@ class MSPyraPartGraphNet(nn.Module):
     @property
     def num_vertex_scales(self):
         return 3  # vertices span layer2/3/4 feature scales
+
+    @property
+    def expected_adj_scales(self):
+        # GraphBlock reads `adj` when blending with the pose graph
+        # (use_pose) or when it IS the graph (learn_graph off); the model
+        # then needs a 3-scale adjacency matching its layer2/3/4 vertices
+        return 3 if (self.use_pose or not self.learn_graph) else None
 
     @property
     def total_parts(self):

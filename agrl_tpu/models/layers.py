@@ -76,6 +76,13 @@ def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jax.nn.sigmoid(-dist)
 
 
+def _pair_mask(vertex_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, V) 0/1 vertex mask -> (B, V, V) pairwise mask: entry (i, j) is
+    1 iff BOTH endpoints are real vertices. Shared by GraphConvLayer and
+    GraphBlock so the padding semantics cannot diverge."""
+    return vertex_mask[:, :, None] * vertex_mask[:, None, :]
+
+
 class GraphConvLayer(nn.Module):
     """Adaptive graph convolution with residual learning.
 
@@ -116,7 +123,7 @@ class GraphConvLayer(nn.Module):
         B, V, C = h.shape
         mask = 1.0 - jnp.eye(V) if self.mask_diag else None
         if vertex_mask is not None:
-            pair_mask = vertex_mask[:, :, None] * vertex_mask[:, None, :]
+            pair_mask = _pair_mask(vertex_mask)
             mask = pair_mask if mask is None else mask * pair_mask
 
         if self.use_pose:
@@ -184,11 +191,7 @@ class GraphBlock(nn.Module):
             self.out_features, use_bias=False, kernel_init=classifier_init, name="linear"
         )(x)
         B, V, C = h.shape
-        pair = (
-            None
-            if vertex_mask is None
-            else vertex_mask[:, :, None] * vertex_mask[:, None, :]
-        )
+        pair = None if vertex_mask is None else _pair_mask(vertex_mask)
 
         if self.use_pose:
             if pair is not None:
