@@ -33,6 +33,53 @@ from agrl_tpu.utils.avgmeter import AverageMeter
 _distmat_jit = jax.jit(compute_distmat, static_argnames=("metric",))
 
 
+def make_eval_forward(model, bf16: bool = False):
+    """The jitted eval forward: on-device preprocess (normalize) + optional
+    bf16 cast of weights/activations + model apply, returning f32 features.
+
+    Returns (fwd, fwd_masked): fwd(variables, imgs, adjs) -> (B, D);
+    fwd_masked additionally takes a (B, S) frame mask (None when the arch
+    does not implement the frame-mask contract). The SAME program serves
+    the Evaluator and the AOT export path (engine/export.py) — one
+    definition, so the served program cannot drift from the evaluated one.
+    """
+    # key created lazily: a module-level PRNGKey would initialize the
+    # JAX backend at import time, defeating late platform selection
+    zero_key = jax.random.PRNGKey(0)  # eval preprocessing is deterministic
+
+    def _cast(v, x, a):
+        if bf16:
+            # bf16 weights/activations: measured 3e-4 relative feature
+            # error vs f32 — below ranking noise; ~1.5x faster on v5e
+            v = jax.tree.map(
+                lambda t: t.astype(jnp.bfloat16)
+                if t.dtype == jnp.float32
+                else t,
+                v,
+            )
+            x = x.astype(jnp.bfloat16)
+            a = a.astype(jnp.bfloat16)
+        return v, x, a
+
+    def fwd(v, x, a):
+        v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
+        out = model.apply(v, x, a, train=False)
+        return out.astype(jnp.float32)
+
+    fwd_masked = None
+    # masked forward for the bucketed `--test-sample all` path: pads
+    # are excluded exactly inside the model (models/vmgn.py)
+    if getattr(model, "supports_frame_mask", False):
+        def fwd_masked(v, x, a, fmask):
+            v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
+            out = model.apply(v, x, a, train=False, frame_mask=fmask)
+            return out.astype(jnp.float32)
+
+        fwd_masked = jax.jit(fwd_masked)
+
+    return jax.jit(fwd), fwd_masked
+
+
 class Evaluator:
     def __init__(
         self, model, test_sample: str = "evenly", pool: str = "avg", bf16: bool = False,
@@ -43,42 +90,7 @@ class Evaluator:
         self.pool = pool
         self.bf16 = bf16
         self.clip_batch = clip_batch
-        # key created lazily: a module-level PRNGKey would initialize the
-        # JAX backend at import time, defeating late platform selection
-        zero_key = jax.random.PRNGKey(0)  # eval preprocessing is deterministic
-
-        def _cast(v, x, a):
-            if bf16:
-                # bf16 weights/activations: measured 3e-4 relative feature
-                # error vs f32 — below ranking noise; ~1.5x faster on v5e
-                v = jax.tree.map(
-                    lambda t: t.astype(jnp.bfloat16)
-                    if t.dtype == jnp.float32
-                    else t,
-                    v,
-                )
-                x = x.astype(jnp.bfloat16)
-                a = a.astype(jnp.bfloat16)
-            return v, x, a
-
-        def fwd(v, x, a):
-            v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
-            out = self.model.apply(v, x, a, train=False)
-            return out.astype(jnp.float32)
-
-        self._fwd = jax.jit(fwd)
-
-        # masked forward for the bucketed `--test-sample all` path: pads
-        # are excluded exactly inside the model (models/vmgn.py)
-        if getattr(model, "supports_frame_mask", False):
-            def fwd_masked(v, x, a, fmask):
-                v, x, a = _cast(v, preprocess_clips(x, zero_key), a)
-                out = self.model.apply(v, x, a, train=False, frame_mask=fmask)
-                return out.astype(jnp.float32)
-
-            self._fwd_masked = jax.jit(fwd_masked)
-        else:
-            self._fwd_masked = None
+        self._fwd, self._fwd_masked = make_eval_forward(model, bf16)
 
     def _make_fwd_runner(self, variables, mesh):
         """Batch-sharded forward over the mesh's 'dp' axis (multi-chip

@@ -1,0 +1,199 @@
+"""AOT export + in-process serving API for the eval forward.
+
+The reference has no deployment story beyond re-running its test script
+(train_vidreid_xent_htri.py:450-546 under --evaluate). This framework is
+meant for production serving, so the eval forward — the exact program the
+Evaluator runs (on-device normalize + optional bf16 cast + model apply,
+engine/evaluator.py `make_eval_forward`) — is exportable two ways:
+
+  * `FeatureExtractor` — in-process serving. Wraps model + variables
+    behind ONE compiled batch shape: ragged request batches pad to
+    `batch_size` and the padding rows are sliced off, so a serving
+    process compiles exactly one XLA program per model and every request
+    hits the cached executable.
+  * `export_eval_forward` / `save_exported` / `load_exported` — AOT
+    serialization via jax.export: the lowered StableHLO program round-
+    trips through bytes, so a serving host can run extraction WITHOUT the
+    model-building Python (flax module tree, registry, this package's
+    model code) — it needs only jax and the msgpack checkpoint. Weights
+    remain call-time arguments (the artifact stays ~KB instead of baking
+    ~100 MB of constants in, and one artifact serves every checkpoint of
+    an architecture).
+
+Typical flow:
+
+    model = init_model("vmgn", num_classes=625, ...)
+    variables = load_weights(...)
+    exp = export_eval_forward(model, variables, batch_size=64, seq_len=8,
+                              height=256, width=128, bf16=True)
+    save_exported("vmgn_eval.jaxexp", exp)
+    # serving host:
+    fx = FeatureExtractor.from_exported("vmgn_eval.jaxexp", variables)
+    feats = fx(clips_uint8)             # (N, D) f32, any N
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agrl_tpu.engine.evaluator import make_eval_forward
+
+
+def _default_num_vertices(model, seq_len: int) -> int:
+    """Adjacency vertex count for a dummy/all-ones graph: same formula as
+    models.init_params (frame count x parts per frame x vertex scales)."""
+    return (
+        seq_len
+        * getattr(model, "total_split", 1)
+        * getattr(model, "num_vertex_scales", 1)
+    )
+
+
+def export_eval_forward(
+    model,
+    variables,
+    batch_size: int,
+    seq_len: int,
+    height: int,
+    width: int,
+    *,
+    bf16: bool = True,
+    num_vertices: int | None = None,
+    img_dtype=np.uint8,
+    platforms: tuple[str, ...] | None = None,
+):
+    """Lower + export the eval forward at a fixed batch shape.
+
+    Returns a jax.export.Exported whose `.call(variables, imgs, adjs)`
+    reproduces Evaluator's forward: imgs (batch, seq_len, H, W, 3) in
+    `img_dtype` (raw uint8 frames are normalized on device), adjs
+    (batch, V, V) f32. `platforms` defaults to the current backend; pass
+    e.g. ("tpu", "cpu") for an artifact that runs on both."""
+    from jax import export as jax_export
+
+    if num_vertices is None:
+        num_vertices = _default_num_vertices(model, seq_len)
+    fwd, _ = make_eval_forward(model, bf16)
+    img_spec = jax.ShapeDtypeStruct(
+        (batch_size, seq_len, height, width, 3), img_dtype
+    )
+    adj_spec = jax.ShapeDtypeStruct(
+        (batch_size, num_vertices, num_vertices), np.float32
+    )
+    var_specs = jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct(np.shape(t), t.dtype), variables
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(fwd, **kwargs)(var_specs, img_spec, adj_spec)
+
+
+def save_exported(path: str, exported) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
+class FeatureExtractor:
+    """Serving-facing feature extraction behind one compiled batch shape.
+
+    Requests of any size: inputs pad to `batch_size` rows (zero frames +
+    all-ones adjacency — the same dummy rows the Evaluator pads ragged
+    mesh batches with) and run in `ceil(N / batch_size)` executions of
+    the single cached executable; padding rows are sliced off the output.
+
+    Build from a live model (`FeatureExtractor(model, variables, ...)`)
+    or from a serialized artifact (`FeatureExtractor.from_exported`),
+    which needs no model code at all.
+    """
+
+    def __init__(
+        self,
+        model=None,
+        variables=None,
+        *,
+        batch_size: int = 64,
+        seq_len: int = 8,
+        bf16: bool = True,
+        num_vertices: int | None = None,
+        _call=None,
+    ):
+        if variables is None:
+            raise ValueError("FeatureExtractor needs model variables")
+        self.variables = variables
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        if _call is not None:
+            self._call = _call
+            self._num_vertices = num_vertices
+        else:
+            if model is None:
+                raise ValueError("pass a model (or use from_exported)")
+            fwd, _ = make_eval_forward(model, bf16)
+            self._call = fwd
+            self._num_vertices = (
+                num_vertices
+                if num_vertices is not None
+                else _default_num_vertices(model, seq_len)
+            )
+
+    @classmethod
+    def from_exported(cls, path_or_exported, variables, *, batch_size=None):
+        """Serve a jax.export artifact: the batch shape (and vertex count)
+        come from the artifact's input signature."""
+        exported = (
+            load_exported(path_or_exported)
+            if isinstance(path_or_exported, str)
+            else path_or_exported
+        )
+        # in_avals: (variables-tree..., imgs, adjs) — imgs aval is
+        # second-to-last in flattening order because variables flatten first
+        img_aval, adj_aval = exported.in_avals[-2], exported.in_avals[-1]
+        b, s = img_aval.shape[0], img_aval.shape[1]
+        if batch_size is not None and batch_size != b:
+            raise ValueError(
+                f"artifact was exported at batch {b}, not {batch_size}"
+            )
+        return cls(
+            variables=variables,
+            batch_size=b,
+            seq_len=s,
+            num_vertices=adj_aval.shape[1],
+            _call=exported.call,
+        )
+
+    def __call__(self, imgs, adjs=None) -> np.ndarray:
+        """imgs: (N, S, H, W, 3); adjs: (N, V, V) or None (all-ones).
+        Returns (N, D) float32 features."""
+        imgs = np.asarray(imgs)
+        n = imgs.shape[0]
+        if adjs is None:
+            v = self._num_vertices
+            adjs = np.ones((n, v, v), np.float32)
+        else:
+            adjs = np.asarray(adjs, np.float32)
+        bs = self.batch_size
+        out = []
+        for start in range(0, n, bs):
+            im = imgs[start : start + bs]
+            ad = adjs[start : start + bs]
+            take = im.shape[0]
+            if take < bs:
+                im = np.concatenate(
+                    [im, np.zeros((bs - take, *im.shape[1:]), im.dtype)]
+                )
+                ad = np.concatenate(
+                    [ad, np.ones((bs - take, *ad.shape[1:]), ad.dtype)]
+                )
+            f = self._call(self.variables, jnp.asarray(im), jnp.asarray(ad))
+            out.append(np.asarray(f)[:take])
+        return np.concatenate(out, axis=0)
