@@ -38,17 +38,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from agrl_tpu.engine.evaluator import make_eval_forward
-
-
-def _default_num_vertices(model, seq_len: int) -> int:
-    """Adjacency vertex count for a dummy/all-ones graph: same formula as
-    models.init_params (frame count x parts per frame x vertex scales)."""
-    return (
-        seq_len
-        * getattr(model, "total_split", 1)
-        * getattr(model, "num_vertex_scales", 1)
-    )
+# NOTE: the evaluator/model imports are deliberately lazy (inside the
+# live-model branches): the artifact-only serving path — from_exported +
+# load_exported — must not pay for the metrics/transforms/model stacks
+# it never uses.
 
 
 def export_eval_forward(
@@ -73,8 +66,11 @@ def export_eval_forward(
     e.g. ("tpu", "cpu") for an artifact that runs on both."""
     from jax import export as jax_export
 
+    from agrl_tpu.engine.evaluator import make_eval_forward
+    from agrl_tpu.models import default_num_vertices
+
     if num_vertices is None:
-        num_vertices = _default_num_vertices(model, seq_len)
+        num_vertices = default_num_vertices(model, seq_len)
     fwd, _ = make_eval_forward(model, bf16)
     img_spec = jax.ShapeDtypeStruct(
         (batch_size, seq_len, height, width, 3), img_dtype
@@ -114,6 +110,14 @@ class FeatureExtractor:
     Build from a live model (`FeatureExtractor(model, variables, ...)`)
     or from a serialized artifact (`FeatureExtractor.from_exported`),
     which needs no model code at all.
+
+    Multi-chip serving: pass a `jax.sharding.Mesh` (parallel.make_mesh) on
+    the live-model path — weights replicate once, every request chunk
+    shards over the mesh's 'dp' axis, and the one compiled program is the
+    SPMD extraction program (the same sharding the Evaluator uses,
+    evaluator.py `_make_fwd_runner`). Artifacts are single-device programs
+    (jax.export records the device count at export), so `from_exported`
+    does not take a mesh — scale artifact serving by process instead.
     """
 
     def __init__(
@@ -125,25 +129,53 @@ class FeatureExtractor:
         seq_len: int = 8,
         bf16: bool = True,
         num_vertices: int | None = None,
+        mesh=None,
         _call=None,
+        _hw=None,
     ):
         if variables is None:
             raise ValueError("FeatureExtractor needs model variables")
         self.variables = variables
         self.batch_size = batch_size
         self.seq_len = seq_len
+        # frame H/W the one compiled executable expects: fixed by the
+        # artifact, or locked in by the live model's first request
+        self._hw = _hw
+        self._batch_sharding = None
+        if mesh is not None and mesh.size > 1:
+            if _call is not None:
+                raise ValueError(
+                    "mesh serving needs a live model: a jax.export artifact "
+                    "is a single-device program (scale it by process)"
+                )
+            dp = mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh's "
+                    f"dp={dp} axis"
+                )
+            from agrl_tpu.parallel.mesh import batch_sharding, replicated
+
+            self.variables = jax.device_put(variables, replicated(mesh))
+            self._batch_sharding = (
+                batch_sharding(mesh, ndim=5),  # imgs (B, S, H, W, 3)
+                batch_sharding(mesh, ndim=3),  # adjs (B, V, V)
+            )
         if _call is not None:
             self._call = _call
             self._num_vertices = num_vertices
         else:
             if model is None:
                 raise ValueError("pass a model (or use from_exported)")
+            from agrl_tpu.engine.evaluator import make_eval_forward
+            from agrl_tpu.models import default_num_vertices
+
             fwd, _ = make_eval_forward(model, bf16)
             self._call = fwd
             self._num_vertices = (
                 num_vertices
                 if num_vertices is not None
-                else _default_num_vertices(model, seq_len)
+                else default_num_vertices(model, seq_len)
             )
 
     @classmethod
@@ -168,32 +200,59 @@ class FeatureExtractor:
             batch_size=b,
             seq_len=s,
             num_vertices=adj_aval.shape[1],
-            _call=exported.call,
+            # jit so repeated serving calls hit jit's executable cache
+            # instead of re-dispatching the exported-call primitive
+            _call=jax.jit(exported.call),
+            _hw=(img_aval.shape[2], img_aval.shape[3]),
         )
 
     def __call__(self, imgs, adjs=None) -> np.ndarray:
         """imgs: (N, S, H, W, 3); adjs: (N, V, V) or None (all-ones).
-        Returns (N, D) float32 features."""
+        Returns (N, D) float32 features. N = 0 is served (one padded
+        execution, empty result)."""
         imgs = np.asarray(imgs)
         n = imgs.shape[0]
-        if adjs is None:
-            v = self._num_vertices
-            adjs = np.ones((n, v, v), np.float32)
-        else:
+        # reject shape drift up front: the serving promise is ONE compiled
+        # executable, so a stray seq_len/H/W would otherwise silently
+        # compile a second program (live path) or die in jax.export with a
+        # low-level aval error (artifact path)
+        if imgs.ndim != 5 or imgs.shape[1] != self.seq_len:
+            raise ValueError(
+                f"expected clips of shape (N, {self.seq_len}, H, W, 3), "
+                f"got {imgs.shape}"
+            )
+        if self._hw is None:
+            self._hw = (imgs.shape[2], imgs.shape[3])  # first request locks it
+        elif tuple(imgs.shape[2:4]) != self._hw:
+            raise ValueError(
+                f"this extractor serves {self._hw[0]}x{self._hw[1]} frames, "
+                f"got {imgs.shape[2]}x{imgs.shape[3]}"
+            )
+        if adjs is not None:
             adjs = np.asarray(adjs, np.float32)
+            if adjs.shape[0] != n:
+                raise ValueError(
+                    f"adjs has {adjs.shape[0]} rows for {n} clips"
+                )
         bs = self.batch_size
+        v = self._num_vertices if adjs is None else adjs.shape[1]
+        ones_block = np.ones((bs, v, v), np.float32)  # reused per chunk
         out = []
-        for start in range(0, n, bs):
+        for start in range(0, max(n, 1), bs):  # n==0 -> one padded run
             im = imgs[start : start + bs]
-            ad = adjs[start : start + bs]
+            ad = ones_block if adjs is None else adjs[start : start + bs]
             take = im.shape[0]
             if take < bs:
                 im = np.concatenate(
-                    [im, np.zeros((bs - take, *im.shape[1:]), im.dtype)]
+                    [im, np.zeros((bs - take, *imgs.shape[1:]), imgs.dtype)]
                 )
-                ad = np.concatenate(
-                    [ad, np.ones((bs - take, *ad.shape[1:]), ad.dtype)]
-                )
-            f = self._call(self.variables, jnp.asarray(im), jnp.asarray(ad))
+                if adjs is not None:
+                    ad = np.concatenate([ad, ones_block[: bs - take]])
+            if self._batch_sharding is not None:
+                im_s, ad_s = self._batch_sharding
+                im, ad = jax.device_put(im, im_s), jax.device_put(ad, ad_s)
+            else:
+                im, ad = jnp.asarray(im), jnp.asarray(ad)
+            f = self._call(self.variables, im, ad)
             out.append(np.asarray(f)[:take])
         return np.concatenate(out, axis=0)

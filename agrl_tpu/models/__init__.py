@@ -112,6 +112,18 @@ def init_model(name: str, *args, **kwargs):
     return __model_factory[name](*args, **kwargs)
 
 
+def default_num_vertices(model, seq_len: int) -> int:
+    """Adjacency vertex count for a dummy/all-ones graph: frames x parts
+    per frame x vertex scales (graphnet models span 3 feature scales).
+    The single source of truth — init_params, the FLOPs probe, and the
+    serving export all size their adjacency through this."""
+    return (
+        seq_len
+        * getattr(model, "total_split", 1)
+        * getattr(model, "num_vertex_scales", 1)
+    )
+
+
 def init_params(
     model,
     rng: jax.Array,
@@ -126,12 +138,7 @@ def init_params(
     Initialization runs in train mode so every head (classifiers,
     consistent-loss path) materializes its parameters."""
     if num_vertices is None:
-        # graphnet models span 3 feature scales (num_vertex_scales)
-        num_vertices = (
-            seq_len
-            * getattr(model, "total_split", 1)
-            * getattr(model, "num_vertex_scales", 1)
-        )
+        num_vertices = default_num_vertices(model, seq_len)
     x = jnp.zeros((batch_size, seq_len, height, width, 3), jnp.float32)
     adj = jnp.ones((batch_size, num_vertices, num_vertices), jnp.float32)
     p_rng, s_rng = jax.random.split(rng)

@@ -58,12 +58,9 @@ def compute_model_complexity(
     reference driver runs at startup (train_vidreid_xent_htri.py:256-263).
     """
     if num_vertices is None:
-        # graphnet models span 3 feature scales (num_vertex_scales)
-        num_vertices = (
-            seq_len
-            * getattr(model, "total_split", 1)
-            * getattr(model, "num_vertex_scales", 1)
-        )
+        from agrl_tpu.models import default_num_vertices
+
+        num_vertices = default_num_vertices(model, seq_len)
     x = jnp.zeros((1, seq_len, height, width, 3), jnp.float32)
     adj = jnp.ones((1, num_vertices, num_vertices), jnp.float32)
 

@@ -171,6 +171,59 @@ def test_export_model_tool_refuses_partial_load(tiny_model, tmp_path):
         ])
 
 
+def test_feature_extractor_empty_batch(tiny_model):
+    """N=0 is a legitimate serving request: (0, D) out, no crash."""
+    model, variables = tiny_model
+    fx = FeatureExtractor(model, variables, batch_size=2, seq_len=S, bf16=False)
+    out = fx(np.zeros((0, S, H, W, 3), np.uint8))
+    assert out.shape[0] == 0 and out.ndim == 2 and out.shape[1] > 0
+
+
+def test_feature_extractor_rejects_shape_drift(tiny_model):
+    """The one-compiled-executable promise: stray seq_len/H/W/adj-rows
+    raise a clear error instead of silently compiling a second program."""
+    model, variables = tiny_model
+    fx = FeatureExtractor(model, variables, batch_size=2, seq_len=S, bf16=False)
+    imgs, adjs = _batch(2, model)
+    with pytest.raises(ValueError, match=f"N, {S}, H, W"):
+        fx(np.zeros((2, S + 1, H, W, 3), np.uint8))
+    with pytest.raises(ValueError, match="2 rows for 3"):
+        fx(np.zeros((3, S, H, W, 3), np.uint8), adjs)
+    fx(imgs, adjs)  # first request locks H x W
+    with pytest.raises(ValueError, match=f"serves {H}x{W}"):
+        fx(np.zeros((2, S, H, W * 2, 3), np.uint8))
+
+
+def test_feature_extractor_mesh_sharded_matches_single(tiny_model):
+    """dp-sharded serving (8 virtual devices): same features, and the
+    artifact path refuses a mesh (single-device program)."""
+    from agrl_tpu.parallel import make_mesh
+
+    model, variables = tiny_model
+    imgs, adjs = _batch(7, model)
+    single = FeatureExtractor(
+        model, variables, batch_size=4, seq_len=S, bf16=False
+    )(imgs, adjs)
+
+    mesh = make_mesh(dp=4, mp=1)
+    fx = FeatureExtractor(
+        model, variables, batch_size=4, seq_len=S, bf16=False, mesh=mesh
+    )
+    np.testing.assert_allclose(fx(imgs, adjs), single, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="must divide"):
+        FeatureExtractor(model, variables, batch_size=3, seq_len=S, mesh=mesh)
+    exp = export_eval_forward(
+        model, variables, batch_size=4, seq_len=S, height=H, width=W,
+        bf16=False,
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        FeatureExtractor(
+            variables=variables, batch_size=4, seq_len=S, mesh=mesh,
+            _call=exp.call,
+        )
+
+
 def test_export_bf16_matches_bf16_eval_forward(tiny_model):
     """The bf16 artifact reproduces the Evaluator's bf16 forward exactly
     (same program, same casts) — not merely the f32 one approximately."""

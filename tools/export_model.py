@@ -32,7 +32,7 @@ def build_parser():
     p.add_argument("--load-weights", required=True, help="msgpack checkpoint")
     # arch hyper-params (same names/defaults as the training CLI)
     p.add_argument("--last-stride", type=int, default=1)
-    p.add_argument("--num-parts", type=int, default=4)
+    p.add_argument("--num-parts", type=int, default=3)
     p.add_argument("--num-scale", type=int, default=1)
     p.add_argument("--num-split", type=int, default=4)
     p.add_argument("--pyramid-part", action="store_true", default=False)
@@ -97,7 +97,11 @@ def main(argv=None):
             "export anyway."
         )
 
-    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    platforms = (
+        tuple(s.strip() for s in args.platforms.split(","))
+        if args.platforms
+        else None
+    )
     exp = export_eval_forward(
         model, variables, batch_size=args.batch, seq_len=args.seq_len,
         height=args.height, width=args.width, bf16=not args.no_bf16,
