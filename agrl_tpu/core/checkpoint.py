@@ -63,6 +63,23 @@ def load_checkpoint(template_tree, fpath: str):
     return state, meta
 
 
+def load_variables(fpath: str):
+    """Template-free model-variable load for serving hosts.
+
+    Restores the raw msgpack tree with no structure template and returns
+    just the model collections ({'params': ..., 'batch_stats': ..., ...})
+    with training-only state (opt_state) dropped. The counterpart of
+    `save_checkpoint` for hosts that have NO model code — the artifact
+    serving path (engine/export.py `FeatureExtractor.from_exported`)
+    needs exactly this: jax + the .jaxexp artifact + these variables.
+    A bare-params checkpoint comes back as {'params': tree}."""
+    with open(fpath, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if not isinstance(raw, dict) or "params" not in raw:
+        return {"params": raw}
+    return {k: v for k, v in raw.items() if k != "opt_state"}
+
+
 def shape_filtered_merge(variables, source, cast_dtype=None):
     """Copy every leaf of `source` whose flattened path exists in
     `variables` with an identical shape; everything else is skipped and

@@ -27,7 +27,9 @@ Typical flow:
     exp = export_eval_forward(model, variables, batch_size=64, seq_len=8,
                               height=256, width=128, bf16=True)
     save_exported("vmgn_eval.jaxexp", exp)
-    # serving host:
+    # serving host (no model code — jax + artifact + checkpoint only):
+    from agrl_tpu.core.checkpoint import load_variables
+    variables = load_variables("best_model.msgpack")  # template-free
     fx = FeatureExtractor.from_exported("vmgn_eval.jaxexp", variables)
     feats = fx(clips_uint8)             # (N, D) f32, any N
 """

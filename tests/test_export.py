@@ -171,6 +171,40 @@ def test_export_model_tool_refuses_partial_load(tiny_model, tmp_path):
         ])
 
 
+def test_serving_host_flow_from_checkpoint(tiny_model, tmp_path):
+    """The complete artifact-only serving recipe: a trainer-written
+    checkpoint (params + batch_stats + opt_state) loads template-free via
+    load_variables, opt_state is dropped, and features equal the live
+    forward. A bare-params checkpoint also loads."""
+    from agrl_tpu.core.checkpoint import load_variables, save_checkpoint
+
+    model, variables = tiny_model
+    ckpt = str(tmp_path / "checkpoint_ep1.msgpack")
+    save_checkpoint(
+        {**variables, "opt_state": {"count": np.zeros((), np.int32)}},
+        ckpt, epoch=1,
+    )
+    served_vars = load_variables(ckpt)
+    assert "opt_state" not in served_vars
+    assert set(served_vars) == set(variables)
+
+    exp = export_eval_forward(
+        model, variables, batch_size=2, seq_len=S, height=H, width=W,
+        bf16=False,
+    )
+    path = str(tmp_path / "m.jaxexp")
+    save_exported(path, exp)
+    fx = FeatureExtractor.from_exported(path, served_vars)
+    imgs, adjs = _batch(3, model)
+    fwd, _ = make_eval_forward(model, bf16=False)
+    ref = np.asarray(fwd(variables, imgs, adjs))
+    np.testing.assert_allclose(fx(imgs, adjs), ref, rtol=1e-5, atol=1e-5)
+
+    bare = str(tmp_path / "bare.msgpack")
+    save_checkpoint(variables["params"], bare, epoch=0)
+    assert set(load_variables(bare)) == {"params"}
+
+
 def test_feature_extractor_empty_batch(tiny_model):
     """N=0 is a legitimate serving request: (0, D) out, no crash."""
     model, variables = tiny_model

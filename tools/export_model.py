@@ -10,8 +10,10 @@ serving host needs — no model code on the loading side:
         --load-weights log/.../best_model.msgpack \
         --batch 64 --out vmgn_eval.jaxexp --platforms tpu,cpu
 
-    # serving side
+    # serving side (no model code)
+    from agrl_tpu.core.checkpoint import load_variables
     from agrl_tpu.engine.export import FeatureExtractor
+    variables = load_variables("log/.../best_model.msgpack")
     fx = FeatureExtractor.from_exported("vmgn_eval.jaxexp", variables)
 """
 
