@@ -352,10 +352,23 @@ def run(args):
               f"'{args.pretrained_weights}' ({len(matched)} matched, {len(skipped)} skipped)")
 
     if args.load_weights and check_isfile(args.load_weights):
-        new_vars, matched, skipped = load_weights_partial(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            args.load_weights,
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if args.load_weights.endswith((".pth", ".pth.tar", ".npz", ".npy")):
+            # a reference torch checkpoint (the released .pth.tar weights the
+            # reference's own test scripts pass to --load-weights): convert
+            # by arch, then the same shape-filtered partial-merge semantics
+            new_vars, matched, skipped, unmapped = (
+                models.convert_reference_checkpoint(
+                    variables, args.load_weights, args.arch
+                )
+            )
+            if unmapped:
+                print(f"(no flax counterpart for {len(unmapped)} torch "
+                      f"entries, e.g. {unmapped[:3]})")
+        else:
+            new_vars, matched, skipped = load_weights_partial(
+                variables, args.load_weights
+            )
         state = state.replace(
             params=jax.tree.map(jnp.asarray, new_vars["params"]),
             batch_stats=jax.tree.map(jnp.asarray, new_vars["batch_stats"]),

@@ -25,7 +25,10 @@ from agrl_tpu.models.resnet_image import (
 from agrl_tpu.models.resnet_temporal import res50rnn, res50ta, res50tp_legacy
 from agrl_tpu.models.sta import simple_sta_p4, sta_p4
 from agrl_tpu.models.vmgn import VMGN, vmgn
-from agrl_tpu.models.weight_convert import init_pretrained_weights
+from agrl_tpu.models.weight_convert import (
+    convert_reference_checkpoint,
+    init_pretrained_weights,
+)
 
 def vmgn_tiny(num_classes, loss={"xent", "htri"}, **kwargs):
     """Depth-(1,1,1,1) VMGN for tests/smoke runs (not in the reference)."""

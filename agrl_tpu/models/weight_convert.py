@@ -677,6 +677,51 @@ def init_pretrained_weights(variables, source):
     return merge_converted(variables, converted)
 
 
+# arch name (models/__init__.py registry) -> converter family. The GSTA
+# family (vmgn/gsta/ganet/sta/simple_sta/res50tp/resnet50_s1) shares one
+# name map; graphnet, temporal/image, resnet50m, and 3D each have their own.
+_GRAPHNET_ARCHS = {"msppn", "msppgn"}
+_TEMPORAL_ARCHS = {
+    "res50tp_legacy", "res50ta", "res50rnn",  # legacy video
+    "resnet50", "resnet101", "resnet50b",  # image (same torch layout)
+}
+_RESNET3D_ARCHS = {"resnet3d50", "resnet3dt"}
+
+
+def convert_reference_checkpoint(variables, source, arch: str):
+    """One-command migration for released reference checkpoints.
+
+    The reference's own test scripts pass .pth.tar files to --load-weights
+    (scripts/test_vidreid_xent_htri_vmgn_mars.sh:15, loader driver
+    :279-287 with the iotools.py:45-49 'module.' strip) — a user switching
+    frameworks holds exactly those files. `source` is a torch state dict
+    or a path (.pth/.pth.tar via torch-cpu, .npz/.npy without torch);
+    `arch` picks the converter family. Shape-filtered merge, so heads for
+    a different #classes are skipped and reported, like the reference.
+
+    Returns (new_variables, matched, skipped, unmapped): matched/skipped
+    are flax-side paths; unmapped are torch names with no flax counterpart.
+    """
+    if isinstance(source, str):
+        source = _load_state_dict_file(source)
+    source = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in source.items()
+    }
+    if arch in _GRAPHNET_ARCHS:
+        converted, unmapped = convert_graphnet_state_dict(source, arch)
+    elif arch in _TEMPORAL_ARCHS:
+        converted, unmapped = convert_temporal_state_dict(source)
+    elif arch == "resnet50m":
+        converted, unmapped = convert_resnet50m_state_dict(source)
+    elif arch in _RESNET3D_ARCHS:
+        converted, unmapped = convert_resnet3d_state_dict(source)
+    else:  # GSTA family (the registry default)
+        converted, unmapped = convert_torch_state_dict(source)
+    new_vars, matched, skipped = merge_converted(variables, converted)
+    return new_vars, matched, skipped, unmapped
+
+
 def load_torch_checkpoint(variables, fpath: str, key: str = "state_dict"):
     """Load a reference .pth(.tar) checkpoint into Flax variables.
 

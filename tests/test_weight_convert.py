@@ -81,6 +81,40 @@ def test_bottleneck_torch_flax_numeric_parity(stride, downsample):
     )
 
 
+def _to_torch_names(variables):
+    """Build reference torch-style names from a VMGN flax tree (inverse of
+    convert_torch_state_dict's mapping) — synthesizes reference-shaped
+    state dicts without torch."""
+    from flax import traverse_util
+
+    sd = {}
+    for coll in ("params", "batch_stats"):
+        for path, v in traverse_util.flatten_dict(variables[coll]).items():
+            name = "/".join(path)
+            tname = (
+                name.replace("trunk/stem/", "")
+                .replace("trunk/", "")
+                .replace("block", "")
+                .replace("/kernel", "/weight")
+                .replace("/scale", "/weight")
+                .replace("/mean", "/running_mean")
+                .replace("/var", "/running_var")
+                .replace("downsample_conv", "downsample/0")
+                .replace("downsample_bn", "downsample/1")
+                .replace("graph_layer_", "graph_layers/")
+                .replace("global_bottleneck/bn", "global_bottleneck")
+                .replace("att_bottleneck/bn", "att_bottleneck")
+                .replace("/", ".")
+            )
+            arr = np.asarray(v)
+            if name.endswith("kernel") and arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)
+            elif name.endswith("kernel"):
+                arr = arr.T
+            sd[tname] = arr
+    return sd
+
+
 def test_full_vmgn_state_dict_coverage():
     """Synthesize a reference-shaped VMGN state dict and check every entry
     maps onto the Flax tree (no skips apart from expected ones)."""
@@ -91,38 +125,7 @@ def test_full_vmgn_state_dict_coverage():
     variables = init_params(model, jax.random.PRNGKey(0), seq_len=8, height=64, width=32)
     variables = jax.tree.map(np.asarray, variables)
 
-    # build the torch-style names from the flax tree (inverse mapping)
-    from flax import traverse_util
-
-    def to_torch_names(variables):
-        sd = {}
-        for coll in ("params", "batch_stats"):
-            for path, v in traverse_util.flatten_dict(variables[coll]).items():
-                name = "/".join(path)
-                tname = (
-                    name.replace("trunk/stem/", "")
-                    .replace("trunk/", "")
-                    .replace("block", "")
-                    .replace("/kernel", "/weight")
-                    .replace("/scale", "/weight")
-                    .replace("/mean", "/running_mean")
-                    .replace("/var", "/running_var")
-                    .replace("downsample_conv", "downsample/0")
-                    .replace("downsample_bn", "downsample/1")
-                    .replace("graph_layer_", "graph_layers/")
-                    .replace("global_bottleneck/bn", "global_bottleneck")
-                    .replace("att_bottleneck/bn", "att_bottleneck")
-                    .replace("/", ".")
-                )
-                arr = np.asarray(v)
-                if name.endswith("kernel") and arr.ndim == 4:
-                    arr = arr.transpose(3, 2, 0, 1)
-                elif name.endswith("kernel"):
-                    arr = arr.T
-                sd[tname] = arr
-        return sd
-
-    sd = to_torch_names(variables)
+    sd = _to_torch_names(variables)
     converted, unmapped = convert_torch_state_dict(sd)
     assert not unmapped, unmapped[:5]
     merged, matched, skipped = merge_converted(variables, converted)
@@ -134,3 +137,60 @@ def test_full_vmgn_state_dict_coverage():
     # round trip: merged values equal originals
     for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(merged)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_reference_checkpoint_dispatch_and_module_prefix(tmp_path):
+    """The one-command migration path (convert_reference_checkpoint):
+    loads a reference-shaped checkpoint file by arch, strips a
+    DataParallel 'module.' prefix (reference iotools.py:45-49), and
+    round-trips every leaf. Uses a .npz so the no-torch path is covered
+    end to end too."""
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.vmgn import VMGN
+    from agrl_tpu.models.weight_convert import convert_reference_checkpoint
+
+    model = VMGN(num_classes=7, layers=(1, 1, 1, 1), num_split=4, num_gb=2)
+    variables = init_params(
+        model, jax.random.PRNGKey(1), seq_len=8, height=64, width=32
+    )
+    variables = jax.tree.map(np.asarray, variables)
+    sd = {f"module.{k}": v for k, v in _to_torch_names(variables).items()}
+    fpath = str(tmp_path / "model_mars.npz")
+    np.savez(fpath, **sd)
+
+    fresh = jax.tree.map(np.zeros_like, variables)
+    merged, matched, skipped, unmapped = convert_reference_checkpoint(
+        fresh, fpath, "vmgn"
+    )
+    assert not skipped and not unmapped, (skipped[:3], unmapped[:3])
+    assert len(matched) == len(jax.tree.leaves(variables))
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_reference_checkpoint_shape_filters_other_heads(tmp_path):
+    """A checkpoint trained with a different #classes partially loads:
+    classifier heads are skipped, everything else matches (the reference's
+    --load-weights transfer semantics, driver :279-287)."""
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.vmgn import VMGN
+    from agrl_tpu.models.weight_convert import convert_reference_checkpoint
+
+    src_model = VMGN(num_classes=11, layers=(1, 1, 1, 1), num_split=4, num_gb=2)
+    src_vars = jax.tree.map(np.asarray, init_params(
+        src_model, jax.random.PRNGKey(2), seq_len=8, height=64, width=32
+    ))
+    fpath = str(tmp_path / "other_heads.npz")
+    np.savez(fpath, **_to_torch_names(src_vars))
+
+    dst_model = VMGN(num_classes=7, layers=(1, 1, 1, 1), num_split=4, num_gb=2)
+    dst_vars = jax.tree.map(np.asarray, init_params(
+        dst_model, jax.random.PRNGKey(3), seq_len=8, height=64, width=32
+    ))
+    merged, matched, skipped, unmapped = convert_reference_checkpoint(
+        dst_vars, fpath, "vmgn"
+    )
+    assert not unmapped
+    assert skipped and all("classifier" in s for s in skipped), skipped[:5]
+    n_class_leaves = len(skipped)
+    assert len(matched) == len(jax.tree.leaves(dst_vars)) - n_class_leaves
