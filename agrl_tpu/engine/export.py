@@ -236,9 +236,26 @@ class FeatureExtractor:
                 raise ValueError(
                     f"adjs has {adjs.shape[0]} rows for {n} clips"
                 )
+            # the vertex count is a compiled shape dim like H/W: a stray V
+            # would recompile (live path) or die in the artifact's aval
+            # check — and a V the model can't consume only surfaces as an
+            # XLA broadcast error deep in the graph blocks
+            if adjs.ndim != 3 or adjs.shape[1] != adjs.shape[2] or (
+                self._num_vertices is not None
+                and adjs.shape[1] != self._num_vertices
+            ):
+                raise ValueError(
+                    f"expected adjacency of shape (N, {self._num_vertices}, "
+                    f"{self._num_vertices}), got {adjs.shape}"
+                )
         bs = self.batch_size
         v = self._num_vertices if adjs is None else adjs.shape[1]
-        ones_block = np.ones((bs, v, v), np.float32)  # reused per chunk
+        needs_padding = n % bs != 0 or n == 0
+        ones_block = (
+            np.ones((bs, v, v), np.float32)
+            if adjs is None or needs_padding
+            else None
+        )  # dummy/padding adjacency, reused per chunk
         out = []
         for start in range(0, max(n, 1), bs):  # n==0 -> one padded run
             im = imgs[start : start + bs]

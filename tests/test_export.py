@@ -226,6 +226,14 @@ def test_feature_extractor_rejects_shape_drift(tiny_model):
     fx(imgs, adjs)  # first request locks H x W
     with pytest.raises(ValueError, match=f"serves {H}x{W}"):
         fx(np.zeros((2, S, H, W * 2, 3), np.uint8))
+    v = S * model.total_split
+    with pytest.raises(ValueError, match="adjacency"):
+        fx(imgs[:2], np.ones((2, v + 1, v + 1), np.float32))
+    with pytest.raises(ValueError, match="adjacency"):
+        fx(imgs[:2], np.ones((2, v, v - 1), np.float32))
+    # N=0 WITH an explicit (0, V, V) adjacency still serves
+    out = fx(np.zeros((0, S, H, W, 3), np.uint8), np.ones((0, v, v), np.float32))
+    assert out.shape[0] == 0
 
 
 def test_feature_extractor_mesh_sharded_matches_single(tiny_model):
