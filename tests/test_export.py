@@ -143,6 +143,42 @@ def test_export_model_tool_roundtrip(tiny_model, tmp_path):
     np.testing.assert_allclose(fx(imgs, adjs), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_export_model_tool_from_reference_checkpoint(tiny_model, tmp_path):
+    """Reference torch-named checkpoint (.npz, 'module.'-prefixed) in,
+    serving artifact out — migration needs one command, no msgpack step."""
+    import importlib.util
+    import os.path as osp
+    import sys as _sys
+
+    _sys.path.insert(0, osp.dirname(__file__))
+    from test_weight_convert import _to_torch_names
+
+    model, variables = tiny_model
+    np_vars = jax.tree.map(np.asarray, variables)
+    sd = {f"module.{k}": v for k, v in _to_torch_names(np_vars).items()}
+    ckpt = tmp_path / "model_mars.npz"
+    np.savez(str(ckpt), **sd)
+    out = tmp_path / "from_torch.jaxexp"
+
+    tool_path = osp.join(osp.dirname(osp.dirname(__file__)), "tools", "export_model.py")
+    spec = importlib.util.spec_from_file_location("export_model_tool3", tool_path)
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    tool.main([
+        "-a", "vmgn_tiny", "--num-classes", "5",
+        "--load-weights", str(ckpt), "--batch", "2",
+        "--seq-len", str(S), "--height", str(H), "--width", str(W),
+        "--pyramid-part", "--use-pose", "--learn-graph", "--num-gb", "2",
+        "--no-bf16", "--out", str(out),
+    ])
+
+    fwd, _ = make_eval_forward(model, bf16=False)
+    imgs, adjs = _batch(2, model)
+    ref = np.asarray(fwd(variables, imgs, adjs))
+    fx = FeatureExtractor.from_exported(str(out), variables)
+    np.testing.assert_allclose(fx(imgs, adjs), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_export_model_tool_refuses_partial_load(tiny_model, tmp_path):
     """Mismatched arch flags -> skipped tensors -> the exporter refuses
     (a serving artifact from a partial load is a mis-specified arch)."""

@@ -1,8 +1,9 @@
 """Export a trained model's eval forward as an AOT serving artifact.
 
 Builds the arch exactly like the training CLI (same hyper-parameter
-flags), loads a checkpoint (msgpack; shape-filtered like --load-weights),
-and serializes the jitted eval forward via jax.export
+flags), loads a checkpoint (msgpack, or a reference .pth(.tar)/.npz
+torch checkpoint — converted by arch; shape-filtered like
+--load-weights), and serializes the jitted eval forward via jax.export
 (agrl_tpu/engine/export.py). The artifact + the checkpoint are all a
 serving host needs — no model code on the loading side:
 
@@ -31,7 +32,9 @@ def build_parser():
     p.add_argument("-a", "--arch", default="vmgn")
     p.add_argument("--num-classes", type=int, required=True,
                    help="classifier width the checkpoint was trained with")
-    p.add_argument("--load-weights", required=True, help="msgpack checkpoint")
+    p.add_argument("--load-weights", required=True,
+                   help="msgpack checkpoint, or a reference torch "
+                        ".pth(.tar)/.npz state dict (converted by arch)")
     # arch hyper-params (same names/defaults as the training CLI)
     p.add_argument("--last-stride", type=int, default=1)
     p.add_argument("--num-parts", type=int, default=3)
@@ -85,7 +88,22 @@ def main(argv=None):
         model, jax.random.PRNGKey(0), seq_len=args.seq_len,
         height=args.height, width=args.width,
     )
-    variables, matched, skipped = load_weights_partial(variables, args.load_weights)
+    if args.load_weights.endswith((".pth", ".pth.tar", ".npz", ".npy")):
+        # a reference torch checkpoint: convert by arch, then the same
+        # shape-filtered merge — reference weights export to a serving
+        # artifact in this one command
+        variables, matched, skipped, unmapped = (
+            models.convert_reference_checkpoint(
+                variables, args.load_weights, args.arch
+            )
+        )
+        if unmapped:
+            print(f"(no flax counterpart for {len(unmapped)} torch "
+                  f"entries, e.g. {unmapped[:3]})")
+    else:
+        variables, matched, skipped = load_weights_partial(
+            variables, args.load_weights
+        )
     print(f"Loaded {len(matched)} tensors from '{args.load_weights}'"
           + (f" ({len(skipped)} skipped)" if skipped else ""))
     if skipped and not args.allow_partial:
