@@ -31,6 +31,24 @@ BASELINE_RANK_S = 4.0  # reference distmat+CMC/mAP wall-clock
 BASELINE_IMGS_PER_SEC_PER_WORKER = 5689.0 / 8  # reference hides decode behind 8 workers
 
 
+def _ensure_native_built():
+    """The host-pipeline numbers assume the native libjpeg decoder; on a
+    fresh workspace build it rather than silently benching the PIL
+    fallback (~4x slower per core)."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(here, "native", "libjpeg_decode.so")
+    if not os.path.exists(so):
+        r = subprocess.run(
+            ["make", "-C", os.path.join(here, "native")],
+            capture_output=True, text=True,
+        )
+        if not os.path.exists(so):
+            print(f"WARNING: native build failed, benching PIL fallback:\n"
+                  f"{r.stderr[-500:]}", file=sys.stderr)
+
+
 def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64):
     """Host input pipeline through the REAL ClipLoader on materialized JPEGs:
     native batched libjpeg decode + pose graph build + collation.
@@ -162,6 +180,23 @@ def main():
         extract_s = min(extract_s, (time.perf_counter() - t0) / n_iters)
     clips_per_sec = B / extract_s
 
+    # ---- serving path (engine/export.py FeatureExtractor): ragged uint8
+    # requests behind the one compiled executable, incl. on-device
+    # normalize + bf16 cast + pad/slice host overhead ----
+    from agrl_tpu.engine.export import FeatureExtractor
+
+    fx = FeatureExtractor(model, variables, batch_size=B, seq_len=S, bf16=True)
+    req = rng.randint(0, 256, (2 * B + 13, S, H, W, 3), dtype=np.uint8)
+    req_adj = (rng.rand(2 * B + 13, V, V) > 0.5).astype(np.float32)
+    _ = fx(req[:B], req_adj[:B])  # compile
+    serve_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        feats = fx(req, req_adj)  # 2 full chunks + 1 padded chunk
+        serve_s = min(serve_s, time.perf_counter() - t0)
+    assert feats.shape == (2 * B + 13, 4096)
+    serving_clips_per_sec = req.shape[0] / serve_s
+
     # ---- MARS-scale eval: distmat + CMC/mAP fully on device ----
     Q, G, D = 1980, 9330, 4096
     qf = jnp.asarray(rng.randn(Q, D), jnp.float32)
@@ -261,6 +296,7 @@ def main():
             imgs_per_core / BASELINE_IMGS_PER_SEC_PER_WORKER, 2
         ),
         "extract_ms_per_batch64_bf16": round(extract_s * 1e3, 2),
+        "serving_clips_per_sec": round(serving_clips_per_sec, 1),
         "device_distmat_plus_rank_s": round(rank_s, 4),
         "rank_vs_baseline": round(BASELINE_RANK_S / rank_s, 1),
         "rerank_device_s": round(rerank_s, 3),
@@ -272,6 +308,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _ensure_native_built()
     if "--host-only" in sys.argv:
         decode, disk_cold, warm, imgs_per_core = bench_host_pipeline()
         print(
