@@ -149,7 +149,7 @@ def main(argv=None):
 
 def run(args):
     from agrl_tpu import models
-    from agrl_tpu.core import load_checkpoint, load_weights_partial, save_checkpoint
+    from agrl_tpu.core import load_checkpoint, save_checkpoint
     from agrl_tpu.data import datasets as data_manager
     from agrl_tpu.data.loader import ClipLoader, VideoClipDataset
     from agrl_tpu.data.samplers import init_sampler
@@ -248,12 +248,14 @@ def run(args):
     trainloader = ClipLoader(
         train_ds, batch_size=args.train_batch, sampler=sampler,
         drop_last=True, num_workers=args.workers, seed=args.seed,
-        process_shard=shard,
+        process_shard=shard, malloc_tuning=True,
     )
     # variable-length items (dense/skipdense/all) require per-tracklet batches
     test_batch = 1 if args.test_sample in ("dense", "skipdense", "all") else args.test_batch
-    queryloader = ClipLoader(query_ds, batch_size=test_batch, num_workers=args.workers)
-    galleryloader = ClipLoader(gallery_ds, batch_size=test_batch, num_workers=args.workers)
+    queryloader = ClipLoader(query_ds, batch_size=test_batch,
+                             num_workers=args.workers, malloc_tuning=True)
+    galleryloader = ClipLoader(gallery_ds, batch_size=test_batch,
+                               num_workers=args.workers, malloc_tuning=True)
 
     print(f"Initializing model: {args.arch}")
     _copy_model_source(args.arch, args.save_dir)
@@ -352,23 +354,17 @@ def run(args):
               f"'{args.pretrained_weights}' ({len(matched)} matched, {len(skipped)} skipped)")
 
     if args.load_weights and check_isfile(args.load_weights):
+        # takes this framework's msgpack OR a reference torch checkpoint
+        # (the released .pth.tar weights the reference's own test scripts
+        # pass to --load-weights) — one dispatcher, same shape-filtered
+        # partial-merge semantics either way
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if args.load_weights.endswith((".pth", ".pth.tar", ".npz", ".npy")):
-            # a reference torch checkpoint (the released .pth.tar weights the
-            # reference's own test scripts pass to --load-weights): convert
-            # by arch, then the same shape-filtered partial-merge semantics
-            new_vars, matched, skipped, unmapped = (
-                models.convert_reference_checkpoint(
-                    variables, args.load_weights, args.arch
-                )
-            )
-            if unmapped:
-                print(f"(no flax counterpart for {len(unmapped)} torch "
-                      f"entries, e.g. {unmapped[:3]})")
-        else:
-            new_vars, matched, skipped = load_weights_partial(
-                variables, args.load_weights
-            )
+        new_vars, matched, skipped, unmapped = models.load_any_checkpoint(
+            variables, args.load_weights, args.arch
+        )
+        if unmapped:
+            print(f"(no flax counterpart for {len(unmapped)} torch "
+                  f"entries, e.g. {unmapped[:3]})")
         state = state.replace(
             params=jax.tree.map(jnp.asarray, new_vars["params"]),
             batch_stats=jax.tree.map(jnp.asarray, new_vars["batch_stats"]),

@@ -69,11 +69,14 @@ class BoundedCache:
     def __setitem__(self, key, value):
         size = _nbytes(value)
         with self._lock:
+            if self.max_bytes is not None and size > self.max_bytes:
+                # one value over the whole cap: don't thrash — and leave
+                # any existing entry for the key in place (values here are
+                # deterministic per key, so the old one is still right)
+                return
             old = self._d.pop(key, None)
             if old is not None:
                 self.nbytes -= old[1]
-            if self.max_bytes is not None and size > self.max_bytes:
-                return  # one value over the whole cap: don't thrash
             self._d[key] = (value, size)
             self.nbytes += size
             if self.max_bytes is not None:
@@ -91,15 +94,25 @@ class BoundedCache:
 class FrameDiskCache:
     """Persistent decoded-frame store.
 
-    Layout (version 2): `frames_{H}x{W}.bin` holds HEADERLESS fixed-size
+    Layout (version 3): `frames_{H}x{W}.bin` holds HEADERLESS fixed-size
     records of exactly H*W*3 uint8 (the resized RGB frame) so a record IS
     a frame — `preadv` can land contiguous runs of records straight into
     the caller's preallocated clip array with zero intermediate copies
     (the clip assembly copy dominated the disk-cold input pipeline
-    otherwise). `frames_{H}x{W}.idx` holds one `path\\tw\\th` line per
-    record in order (the ORIGINAL image size travels in the index).
-    A VERSION file guards the layout; an unversioned non-empty store from
-    an older build is discarded (it is a cache).
+    otherwise). `frames_{H}x{W}.idx` holds one `path\\tw\\th\\tsrcbytes`
+    line per record in order (the ORIGINAL image size and the source
+    file's byte size travel in the index). A VERSION file guards the
+    layout; a non-matching store from an older build is discarded (it is
+    a cache).
+
+    Staleness: records are keyed by path, so a regenerated dataset at the
+    same paths would silently serve old pixels forever. Guard: each
+    record stores its source file's byte size, and open() stats a random
+    sample of entries — any size mismatch marks the store stale, which a
+    writer wipes (decode re-pays once) and a reader ignores. Per-read
+    validation is deliberately skipped (a stat per frame on the preadv
+    hot path); a same-size re-encode can slip through the sample, which
+    is the documented trade-off of a path-keyed cache.
 
     Reads are positional (`pread`/`preadv` on a shared fd — no file
     position state, safe under the loader's thread pool); appends hold a
@@ -115,7 +128,7 @@ class FrameDiskCache:
     indexed at their open; they pick up the writer's additions on their
     next open."""
 
-    VERSION = "2"
+    VERSION = "3"
 
     def __init__(self, cache_dir: str, height: int, width: int):
         self.height = height
@@ -157,6 +170,7 @@ class FrameDiskCache:
         open(self.idx_path, "ab").close()
         self._index: dict[str, int] = {}
         self._sizes: list[tuple[int, int]] = []
+        self._src_bytes: list[int] = []
         if ver != self.VERSION and self.read_only:
             # a reader cannot wipe a stale-layout store; treat it as empty
             lines = []
@@ -167,14 +181,34 @@ class FrameDiskCache:
         n = 0
         for line in lines[: full_records]:
             try:
-                p, w, h = line.rsplit("\t", 2)
+                p, w, h, sb = line.rsplit("\t", 3)
                 wh = (int(w), int(h))
+                sb = int(sb)
             except ValueError:
                 break  # malformed tail line
             self._index[p] = n
             self._sizes.append(wh)
+            self._src_bytes.append(sb)
             n += 1
         self._n = n
+
+        if n and self._sample_stale():
+            # the dataset changed under the store's paths: a writer wipes
+            # and re-pays decode once; a reader cannot wipe — serve nothing
+            print(
+                f"Frame store {self.bin_path}: source files changed size — "
+                + ("discarding the stale store"
+                   if not self.read_only else "ignoring it (read-only)")
+            )
+            self._index.clear()
+            self._sizes.clear()
+            self._src_bytes.clear()
+            self._n = n = 0
+            lines = []
+            if not self.read_only:
+                for p in (self.bin_path, self.idx_path):
+                    with open(p, "w"):
+                        pass
         # data reads via pread on a shared fd; appends via buffered handles
         self._read_fd = os.open(self.bin_path, os.O_RDONLY)
         if not self.read_only:
@@ -188,8 +222,10 @@ class FrameDiskCache:
             if len(lines) != n:
                 with open(self.idx_path, "w") as f:
                     f.write("".join(
-                        f"{p}\t{w}\t{h}\n"
-                        for p, (w, h) in zip(self._index, self._sizes)
+                        f"{p}\t{w}\t{h}\t{sb}\n"
+                        for p, (w, h), sb in zip(
+                            self._index, self._sizes, self._src_bytes
+                        )
                     ))
             self._idx_append = open(self.idx_path, "a")
         else:
@@ -198,6 +234,22 @@ class FrameDiskCache:
 
     def __len__(self):
         return self._n
+
+    def _sample_stale(self, sample: int = 64) -> bool:
+        """Stat a deterministic sample of indexed paths: True if any
+        still-existing source file's byte size differs from the one
+        recorded at put time. Missing files don't count — a store may
+        outlive a dataset tree whose frames are simply never requested."""
+        paths = list(self._index)
+        step = max(1, len(paths) // sample)
+        for p in paths[::step][:sample]:
+            try:
+                actual = os.path.getsize(p)
+            except OSError:
+                continue
+            if actual != self._src_bytes[self._index[p]]:
+                return True
+        return False
 
     def get(self, path: str):
         """-> (frame (H, W, 3) uint8, (w, h)) or None."""
@@ -247,15 +299,25 @@ class FrameDiskCache:
         if self.read_only:  # another process holds the writer lock
             return
         assert img.shape == (self.height, self.width, 3) and img.dtype == np.uint8
+        try:
+            src_bytes = os.path.getsize(path)  # staleness fingerprint
+        except OSError:
+            src_bytes = -1  # non-file source (tests); never flags stale
         with self._lock:
             if path in self._index:
                 return
             self._bin_append.write(np.ascontiguousarray(img).tobytes())
             self._bin_append.flush()
-            self._idx_append.write(f"{path}\t{int(size[0])}\t{int(size[1])}\n")
+            self._idx_append.write(
+                f"{path}\t{int(size[0])}\t{int(size[1])}\t{src_bytes}\n"
+            )
             self._idx_append.flush()
-            self._index[path] = self._n
+            # publish order matters: get()/read_many_into() take no lock,
+            # so _sizes must be complete BEFORE the path appears in _index
+            # (index-first briefly exposed _sizes[i] -> IndexError)
             self._sizes.append((int(size[0]), int(size[1])))
+            self._src_bytes.append(src_bytes)
+            self._index[path] = self._n
             self._n += 1
 
     def close(self):

@@ -227,7 +227,11 @@ class GraphBuilder:
                 try:
                     arr = np.asarray(p, dtype=np.float64)[:18]
                     poses[i, : arr.shape[0]] = arr
-                except (ValueError, IndexError):
-                    pass  # ragged/short pose -> empty part sets
+                except (ValueError, IndexError, TypeError):
+                    # ragged/short pose (ValueError/IndexError) or
+                    # non-numeric content like JSON nulls (TypeError)
+                    # -> empty part sets, matching the reference's
+                    # bare-except degradation
+                    pass
         heights = np.asarray([s[1] for s in sizes], dtype=np.float64)
         return self(poses, heights)

@@ -199,15 +199,25 @@ class ClipLoader:
         num_workers: int = 8,
         seed: int | None = None,
         process_shard: tuple[int, int] | None = None,
+        malloc_tuning: bool = False,
     ):
         """`process_shard=(process_id, num_processes)`: multi-host data
         loading — every host runs the SAME (identically seeded) sampler but
         materializes only its contiguous `batch_size/num_processes` slice of
         each batch; parallel.mesh.put_global reassembles the global batch
-        from the per-host shards."""
-        from agrl_tpu.utils.hostmem import tune_malloc_for_streaming
+        from the per-host shards.
 
-        tune_malloc_for_streaming()  # batch buffers reuse warm heap pages
+        `malloc_tuning=True` applies utils.hostmem.tune_malloc_for_streaming
+        — a PROCESS-WIDE glibc policy (freed heap blocks up to 1 GB are
+        retained for reuse instead of returned to the OS). It makes batch
+        buffers land on warm pages, which dominates throughput on
+        lazily-faulting VMs; the CLI and bench opt in explicitly. Off by
+        default so merely constructing a loader inside a larger service
+        never changes that process's allocator behavior."""
+        if malloc_tuning:
+            from agrl_tpu.utils.hostmem import tune_malloc_for_streaming
+
+            tune_malloc_for_streaming()  # batch buffers reuse warm heap pages
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler

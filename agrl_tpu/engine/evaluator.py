@@ -92,6 +92,22 @@ class Evaluator:
         self.clip_batch = clip_batch
         self._fwd, self._fwd_masked = make_eval_forward(model, bf16)
 
+    @staticmethod
+    def _mesh_put(variables, mesh):
+        """The ONE sharding recipe behind every eval runner: replicate the
+        variables over the mesh and return (variables, put) where `put`
+        dp-shards an array's leading axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+        def put(arr):
+            return jax.device_put(
+                arr, NamedSharding(mesh, P("dp", *[None] * (np.ndim(arr) - 1)))
+            )
+
+        return variables, put
+
     def _make_fwd_runner(self, variables, mesh):
         """Batch-sharded forward over the mesh's 'dp' axis (multi-chip
         extraction, SURVEY.md §2.8), or the plain single-device forward.
@@ -101,10 +117,8 @@ class Evaluator:
         if mesh is None or mesh.size <= 1:
             return lambda imgs, adjs: self._fwd(variables, imgs, adjs)
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         dp = mesh.shape["dp"]
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        variables, put = self._mesh_put(variables, mesh)
 
         def run(imgs, adjs):
             n = imgs.shape[0]
@@ -116,13 +130,7 @@ class Evaluator:
                 adjs = np.concatenate(
                     [adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)]
                 )
-            imgs_d = jax.device_put(
-                imgs, NamedSharding(mesh, P("dp", *[None] * (np.ndim(imgs) - 1)))
-            )
-            adjs_d = jax.device_put(
-                adjs, NamedSharding(mesh, P("dp", *[None] * (np.ndim(adjs) - 1)))
-            )
-            f = self._fwd(variables, imgs_d, adjs_d)
+            f = self._fwd(variables, put(imgs), put(adjs))
             return f[:n] if pad else f
 
         return run
@@ -184,17 +192,10 @@ class Evaluator:
         if mesh is None or mesh.size <= 1:
             return lambda x, a, m: self._fwd_masked(variables, x, a, m)
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
-
-        def run(x, a, m):
-            put = lambda arr: jax.device_put(  # noqa: E731
-                arr, NamedSharding(mesh, P("dp", *[None] * (np.ndim(arr) - 1)))
-            )
-            return self._fwd_masked(variables, put(x), put(a), put(m))
-
-        return run
+        variables, put = self._mesh_put(variables, mesh)
+        return lambda x, a, m: self._fwd_masked(
+            variables, put(x), put(a), put(m)
+        )
 
     def _extract_all_bucketed(
         self, variables, loader, name: str, keep_on_device: bool = False,
@@ -273,15 +274,19 @@ class Evaluator:
                 adj = adjs[bi]  # (V, V), V = num * vertices-per-frame
                 num = clip.shape[0]
                 Sp = self._bucket_len(num)
+                if pad_adj is not None:
+                    # split-major archs scatter entries themselves; run the
+                    # hook even at Sp == num — adjacency-ignoring models
+                    # (msppn; msppgn with learn_graph and no pose) remap ANY
+                    # incoming layout to their fixed per-bucket shape, and
+                    # an unpadded item must land on that same shape
+                    adj = pad_adj(adj, num, Sp)
                 if Sp > num:
                     pad = Sp - num
                     clip = np.concatenate(
                         [clip, np.zeros((pad, *clip.shape[1:]), clip.dtype)]
                     )
-                    if pad_adj is not None:
-                        # split-major archs scatter entries themselves
-                        adj = pad_adj(adj, num, Sp)
-                    else:
+                    if pad_adj is None:  # frame-major: pad a trailing block
                         assert adj.shape[0] % num == 0, (
                             f"adjacency ({adj.shape[0]} vertices) is not a "
                             f"multiple of the frame count ({num}); bucketed "
@@ -447,7 +452,14 @@ class Evaluator:
         # protocols without a device scorer) falls through to the host.
         if device_rank and not return_distmat:
             device_cmc = None
-            if metric_protocol in ("mars", "market1501", "cuhk03", "dukev"):
+            # dukev's device scorer is a trapezoid closed form, exact only
+            # for tie-free distances; re-ranked distances are quantized
+            # Jaccard blends where ties are plausible -> host path (whose
+            # dispatcher tie-detects and keeps the literal sklearn walk)
+            protocols = ("mars", "market1501", "cuhk03") + (
+                () if re_rank else ("dukev",)
+            )
+            if metric_protocol in protocols:
                 from agrl_tpu.ops.rank import (
                     cuhk03_cmc_map,
                     dukev_cmc_map,
@@ -494,6 +506,24 @@ class Evaluator:
                     )
 
             if device_cmc is not None:
+                # the jitted scorers clamp their valid-query denominator
+                # (max(valid, 1)) because a traced value cannot raise — so
+                # an all-invalid query set would silently print 0% scores.
+                # Every host path raises here; validity depends only on
+                # pids/camids, so check it on host first.
+                q_p, g_p = np.asarray(q_pids), np.asarray(g_pids)
+                q_c, g_c = np.asarray(q_camids), np.asarray(g_camids)
+                some_valid = bool(
+                    (
+                        (q_p[:, None] == g_p[None, :])
+                        & (q_c[:, None] != g_c[None, :])
+                    ).any()
+                )
+                if not some_valid:
+                    raise RuntimeError(
+                        "No valid query: no query identity appears in the "
+                        "gallery under a different camera"
+                    )
                 print("Computing CMC and mAP on device")
                 cmc_d, map_d = device_cmc()
                 cmc, mAP = np.asarray(cmc_d), float(map_d)

@@ -403,9 +403,14 @@ def evaluate_rank(
     if use_metric_mars:
         return evaluate_mars(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     if use_metric_dukev:
-        # vectorized closed form of the sklearn loop (exact for tie-free
-        # distances; evaluate_dukev keeps the literal sklearn walk)
-        return evaluate_dukev_fast(
-            distmat, q_pids, g_pids, q_camids, g_camids, max_rank
-        )
+        # vectorized closed form of the sklearn loop — exact only for
+        # tie-free distances (sklearn merges PR-curve points at ties; the
+        # trapezoid form doesn't). Feature distances are continuous, but a
+        # re-ranked distmat is a quantized Jaccard blend where ties are
+        # plausible — detect them and keep the literal sklearn walk there.
+        dm = np.asarray(distmat)
+        row_sorted = np.sort(dm, axis=1)
+        has_ties = bool((row_sorted[:, 1:] == row_sorted[:, :-1]).any())
+        impl = evaluate_dukev if has_ties else evaluate_dukev_fast
+        return impl(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     raise ValueError("Select one of the evaluation metrics")

@@ -28,6 +28,7 @@ from agrl_tpu.models.vmgn import VMGN, vmgn
 from agrl_tpu.models.weight_convert import (
     convert_reference_checkpoint,
     init_pretrained_weights,
+    load_any_checkpoint,
 )
 
 def vmgn_tiny(num_classes, loss={"xent", "htri"}, **kwargs):

@@ -722,6 +722,28 @@ def convert_reference_checkpoint(variables, source, arch: str):
     return new_vars, matched, skipped, unmapped
 
 
+# file extensions that mean "a torch-world state dict" (the reference's
+# released checkpoints, or a torch-named numpy archive for torch-free hosts)
+TORCH_CKPT_EXTS = (".pth", ".pth.tar", ".npz", ".npy")
+
+
+def load_any_checkpoint(variables, fpath: str, arch: str):
+    """--load-weights semantics for ANY checkpoint format, in one place
+    (the CLI driver and tools/export_model.py both route through this):
+    TORCH_CKPT_EXTS -> convert_reference_checkpoint (arch-dispatched
+    conversion + shape-filtered merge); anything else -> this framework's
+    msgpack via core.checkpoint.load_weights_partial.
+
+    Returns (new_variables, matched, skipped, unmapped); `unmapped` (torch
+    names with no flax counterpart) is [] for msgpack checkpoints."""
+    if fpath.endswith(TORCH_CKPT_EXTS):
+        return convert_reference_checkpoint(variables, fpath, arch)
+    from agrl_tpu.core.checkpoint import load_weights_partial
+
+    new_vars, matched, skipped = load_weights_partial(variables, fpath)
+    return new_vars, matched, skipped, []
+
+
 def load_torch_checkpoint(variables, fpath: str, key: str = "state_dict"):
     """Load a reference .pth(.tar) checkpoint into Flax variables.
 

@@ -125,7 +125,7 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
         return out
 
     ds = VideoClipDataset(tracklets, **ds_args)
-    loader = ClipLoader(ds, batch_size=batch, num_workers=1)
+    loader = ClipLoader(ds, batch_size=batch, num_workers=1, malloc_tuning=True)
     run(loader)  # page-cache + cache-fill warmup
     # decode-bound pass (page cache warm, like epoch 2+ of a new machine)
     cold = best(lambda: run(loader), n=2, pre=ds.cache.clear)
@@ -134,7 +134,7 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
     # persistent frame store: first pass populates (or reuses a prior
     # bench's store), then a RAM-cold pass = every later run's epoch 1
     ds2 = VideoClipDataset(tracklets, disk_cache=root + "_fstore", **ds_args)
-    loader2 = ClipLoader(ds2, batch_size=batch, num_workers=1)
+    loader2 = ClipLoader(ds2, batch_size=batch, num_workers=1, malloc_tuning=True)
     run(loader2)  # populate/verify the store
     disk_cold = best(lambda: run(loader2), pre=ds2.cache.clear)
     ds2.disk_cache.close()

@@ -353,3 +353,67 @@ def test_gsta_masked_forward_equals_unpadded():
     fmask[:, :num] = 1.0
     got = model.apply(variables, xp, adjp, train=False, frame_mask=fmask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_msppn_bucketed_eval_ignores_graph_layout():
+    """msppn never reads the adjacency, so the bucketed 'all' path must run
+    with ANY data-side graph layout — e.g. a graph built WITHOUT
+    --pyramid-part (per-frame part count != the model's pooled parts). The
+    pad hook used to assert the split-major layout and crash mid-eval; it
+    now pads to the model's own fixed shape. Lengths include an exact
+    power-of-two so the no-padding case lands on the same shape too."""
+    from agrl_tpu.models.graphnet import msppn
+
+    model = msppn(num_classes=4, num_split=2, layers=(1, 1, 1, 1))
+    variables = init_params(
+        model, jax.random.PRNGKey(9), seq_len=4, height=64, width=32, batch_size=2
+    )
+    r = np.random.RandomState(13)
+    lengths = [3, 8, 5]  # 8 = already a bucket length (no frame padding)
+    batches = []
+    data_split = 2  # != model.total_split (=3 for num_split=2 pyramid)
+    assert data_split != model.total_split
+    for t, num in enumerate(lengths):
+        V = num * data_split  # a non-pyramid, single-scale graph layout
+        imgs = (r.rand(1, num, 64, 32, 3) * 255).astype(np.uint8)
+        adj = (r.rand(1, V, V) > 0.5).astype(np.float32)
+        batches.append((imgs, np.asarray([t % 3]), np.asarray([t % 2]), adj))
+
+    ev = Evaluator(model, test_sample="all")
+    feats, pids, camids, _ = ev.extract(variables, batches, "query")
+    # features equal a direct forward (any adjacency gives the same answer
+    # for an adjacency-ignoring model)
+    for (imgs, bpid, bcam, adj), got in zip(batches, feats):
+        num = imgs.shape[1]
+        Vm = 3 * model.total_split * num
+        dummy = np.ones((1, Vm, Vm), np.float32)
+        want = np.asarray(ev._fwd(variables, imgs, dummy))[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    assert list(pids) == [t % 3 for t in range(len(lengths))]
+
+
+def test_msppgn_learned_graph_bucketed_ignores_layout():
+    """msppgn with learn_graph and no pose never reads the adjacency either
+    — its pad hook must not assert the split-major layout."""
+    from agrl_tpu.models.graphnet import msppgn
+
+    model = msppgn(
+        num_classes=4, num_split=2, num_gb=1, layers=(1, 1, 1, 1),
+        use_pose=False, learn_graph=True,
+    )
+    assert model.expected_adj_scales is None
+    variables = init_params(
+        model, jax.random.PRNGKey(10), seq_len=4, height=64, width=32, batch_size=2
+    )
+    r = np.random.RandomState(14)
+    imgs = (r.rand(1, 5, 64, 32, 3) * 255).astype(np.uint8)
+    adj = np.ones((1, 5, 5), np.float32)  # ts=1 layout (no pose graph)
+    ev = Evaluator(model, test_sample="all")
+    feats, _, _, _ = ev.extract(
+        variables, [(imgs, np.asarray([0]), np.asarray([0]), adj)], "query"
+    )
+    Vm = 3 * model.total_split * 5
+    want = np.asarray(
+        ev._fwd(variables, imgs, np.ones((1, Vm, Vm), np.float32))
+    )[0]
+    np.testing.assert_allclose(feats[0], want, atol=2e-4)

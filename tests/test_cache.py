@@ -65,6 +65,16 @@ class TestBoundedCache:
         assert cache.nbytes == n1 + 1000
         assert len(cache) == 1
 
+    def test_oversized_overwrite_keeps_prior_entry(self):
+        """An over-cap update must not degrade an existing hit into a
+        permanent miss (the old pop-then-bail deleted the entry)."""
+        cache = BoundedCache(max_bytes=5000)
+        small = np.arange(1000, dtype=np.uint8)
+        cache["x"] = small
+        cache["x"] = np.zeros(10_000, np.uint8)  # over the whole cap
+        np.testing.assert_array_equal(cache.get("x"), small)
+        assert cache.nbytes > 0
+
 
 class TestFrameDiskCache:
     def test_roundtrip_and_persistence(self, tmp_path):
@@ -84,6 +94,34 @@ class TestFrameDiskCache:
         got2 = store2.get("/a/b.jpg")
         np.testing.assert_array_equal(got2[0], img)
         store2.close()
+
+    def test_stale_source_files_discard_store(self, tmp_path, capsys):
+        """Records fingerprint their source file's byte size; a dataset
+        regenerated at the same paths (different sizes) marks the store
+        stale at open — a writer wipes it, instead of serving old pixels
+        forever. Missing files do NOT flag staleness (a store may outlive
+        a tree whose frames are never requested)."""
+        src = tmp_path / "img.jpg"
+        src.write_bytes(b"x" * 100)
+        d = str(tmp_path / "store")
+        store = FrameDiskCache(d, 8, 6)
+        store.put(str(src), _frame(0), (64, 128))
+        store.put("/gone/elsewhere.jpg", _frame(1), (64, 128))
+        store.close()
+
+        # unchanged source: reopen preserves both records
+        store2 = FrameDiskCache(d, 8, 6)
+        assert len(store2) == 2
+        store2.close()
+
+        src.write_bytes(b"y" * 150)  # regenerated dataset: size changed
+        store3 = FrameDiskCache(d, 8, 6)
+        assert len(store3) == 0
+        assert "stale" in capsys.readouterr().out
+        # and the wiped store appends cleanly from scratch
+        store3.put(str(src), _frame(2), (64, 128))
+        np.testing.assert_array_equal(store3.get(str(src))[0], _frame(2))
+        store3.close()
 
     def test_partial_trailing_record_dropped(self, tmp_path):
         d = str(tmp_path / "store")

@@ -117,8 +117,9 @@ def test_from_pose_dict_malformed_entries_degrade_per_frame():
         "short": good[:17],           # 17 keypoints: used as-is
         "ragged": [[1.0, 2.0], [3.0]],  # unparseable: empty part sets
         "flat": np.arange(10.0),      # wrong rank: empty part sets
+        "nulls": [[None, None, None]] * 18,  # JSON nulls: empty part sets
     }
-    keys = ["ok", "short", "missing", "ragged", "flat", None]
+    keys = ["ok", "short", "missing", "ragged", "flat", "nulls", None]
     sizes = [(64, 128)] * len(keys)
     adj = gb.from_pose_dict(keys, sizes, pose_dict)
     V = len(keys) * gb.total_split

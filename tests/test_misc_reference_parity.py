@@ -205,3 +205,28 @@ def test_evaluate_dukev_fast_skips_invalid_queries():
     cmc_f, map_f = evaluate_dukev_fast(dist, qp, gp, qc, gc)
     np.testing.assert_allclose(cmc_f, cmc_s, atol=1e-9)
     np.testing.assert_allclose(map_f, map_s, atol=1e-9)
+
+
+def test_evaluate_rank_dukev_tie_detection():
+    """The dispatcher must route tied distance matrices (plausible after
+    k-reciprocal re-ranking: quantized Jaccard blends) to the literal
+    sklearn walk — the trapezoid closed form is exact only tie-free."""
+    from agrl_tpu.metrics.rank import (
+        evaluate_dukev,
+        evaluate_rank,
+    )
+
+    dist, qp, gp, qc, gc = _duke_problem(3, num_q=15, num_g=80, num_pids=8)
+    dist = np.round(dist * 4) / 4  # quantize -> ties within rows
+    assert (np.sort(dist, 1)[:, 1:] == np.sort(dist, 1)[:, :-1]).any()
+    cmc_d, map_d = evaluate_rank(dist, qp, gp, qc, gc, use_metric_dukev=True)
+    cmc_s, map_s = evaluate_dukev(dist, qp, gp, qc, gc)
+    np.testing.assert_allclose(cmc_d, cmc_s, atol=1e-12)
+    assert map_d == map_s
+
+    # tie-free input still takes the fast path (same answer by parity)
+    dist2, qp2, gp2, qc2, gc2 = _duke_problem(4, num_q=15, num_g=80, num_pids=8)
+    cmc_f, map_f = evaluate_rank(dist2, qp2, gp2, qc2, gc2, use_metric_dukev=True)
+    cmc_s2, map_s2 = evaluate_dukev(dist2, qp2, gp2, qc2, gc2)
+    np.testing.assert_allclose(cmc_f, cmc_s2, atol=1e-9)
+    np.testing.assert_allclose(map_f, map_s2, atol=1e-9)

@@ -125,3 +125,32 @@ def test_evaluator_rerank_device_matches_host(tmp_path):
         )
         np.testing.assert_allclose(r1_host, r1_dev, atol=1e-5)
         np.testing.assert_allclose(map_host, map_dev, atol=1e-5)
+
+
+def test_device_rank_raises_on_no_valid_query():
+    """The jitted scorers clamp their valid-query denominator (a traced
+    value cannot raise), so the Evaluator pre-checks validity on host —
+    an all-invalid query set (every match same-camera) must raise like
+    the host paths do, not print 0% scores."""
+    import pytest
+
+    model = init_model("vmgn_tiny", num_classes=2, loss={"xent", "htri"},
+                       num_split=4, pyramid_part=True, num_gb=1,
+                       use_pose=True, learn_graph=True)
+    variables = init_params(model, jax.random.PRNGKey(1), seq_len=4, height=64, width=32)
+    r = np.random.RandomState(0)
+    V = 4 * model.total_split
+
+    def batches(pids, cams):
+        imgs = (r.rand(len(pids), 4, 64, 32, 3) * 255).astype(np.uint8)
+        adj = np.ones((len(pids), V, V), np.float32)
+        return [(imgs, np.asarray(pids), np.asarray(cams), adj)]
+
+    ev = Evaluator(model, test_sample="evenly")
+    with pytest.raises(RuntimeError, match="No valid query"):
+        ev.evaluate(
+            variables,
+            batches([0, 1], [0, 0]),  # queries: pids 0,1 cam 0
+            batches([0, 1], [0, 0]),  # gallery: same pids, SAME cam only
+            dist_metric="cosine", device_rank=True,
+        )

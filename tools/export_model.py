@@ -67,7 +67,6 @@ def main(argv=None):
     import jax
 
     from agrl_tpu import models
-    from agrl_tpu.core import load_weights_partial
     from agrl_tpu.engine.export import export_eval_forward, save_exported
 
     model = models.init_model(
@@ -88,22 +87,15 @@ def main(argv=None):
         model, jax.random.PRNGKey(0), seq_len=args.seq_len,
         height=args.height, width=args.width,
     )
-    if args.load_weights.endswith((".pth", ".pth.tar", ".npz", ".npy")):
-        # a reference torch checkpoint: convert by arch, then the same
-        # shape-filtered merge — reference weights export to a serving
-        # artifact in this one command
-        variables, matched, skipped, unmapped = (
-            models.convert_reference_checkpoint(
-                variables, args.load_weights, args.arch
-            )
-        )
-        if unmapped:
-            print(f"(no flax counterpart for {len(unmapped)} torch "
-                  f"entries, e.g. {unmapped[:3]})")
-    else:
-        variables, matched, skipped = load_weights_partial(
-            variables, args.load_weights
-        )
+    # msgpack or a reference torch checkpoint — reference weights export
+    # to a serving artifact in this one command (same dispatcher as the
+    # CLI's --load-weights)
+    variables, matched, skipped, unmapped = models.load_any_checkpoint(
+        variables, args.load_weights, args.arch
+    )
+    if unmapped:
+        print(f"(no flax counterpart for {len(unmapped)} torch "
+              f"entries, e.g. {unmapped[:3]})")
     print(f"Loaded {len(matched)} tensors from '{args.load_weights}'"
           + (f" ({len(skipped)} skipped)" if skipped else ""))
     if skipped and not args.allow_partial:
