@@ -257,6 +257,7 @@ class FeatureExtractor:
             else None
         )  # dummy/padding adjacency, reused per chunk
         out = []
+        pending = None  # one-deep pipeline: (device features, rows to keep)
         for start in range(0, max(n, 1), bs):  # n==0 -> one padded run
             im = imgs[start : start + bs]
             ad = ones_block if adjs is None else adjs[start : start + bs]
@@ -272,6 +273,13 @@ class FeatureExtractor:
                 im, ad = jax.device_put(im, im_s), jax.device_put(ad, ad_s)
             else:
                 im, ad = jnp.asarray(im), jnp.asarray(ad)
+            # dispatch this chunk, THEN fetch the previous one: chunk k+1's
+            # H2D transfer + dispatch overlaps chunk k's device compute
+            # (the fetch is the only hard sync), so multi-chunk requests
+            # don't serialize transfer -> compute -> fetch per chunk
             f = self._call(self.variables, im, ad)
-            out.append(np.asarray(f)[:take])
+            if pending is not None:
+                out.append(np.asarray(pending[0])[: pending[1]])
+            pending = (f, take)
+        out.append(np.asarray(pending[0])[: pending[1]])
         return np.concatenate(out, axis=0)

@@ -196,6 +196,21 @@ def main():
         serve_s = min(serve_s, time.perf_counter() - t0)
     assert feats.shape == (2 * B + 13, 4096)
     serving_clips_per_sec = req.shape[0] / serve_s
+    # serving pays a REAL host->device transfer per request (uint8 frames),
+    # unlike the extract number whose inputs live on device. On this rig
+    # that transfer rides the axon tunnel (~40 MB/s), so also report the
+    # pure-H2D rate for the same bytes: serving landing at/above it means
+    # the code is transfer-bound by the rig (its one-deep pipeline overlaps
+    # transfer with compute), not overhead-bound — a local-PCIe host moves
+    # the same bytes ~200x faster and serves compute-bound near the
+    # extract rate.
+    h2d_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d = jnp.asarray(req)
+        _ = np.asarray(d[0, 0, 0, 0, 0])  # force materialization
+        h2d_s = min(h2d_s, time.perf_counter() - t0)
+    serving_h2d_rate = req.shape[0] / h2d_s
 
     # ---- MARS-scale eval: distmat + CMC/mAP fully on device ----
     Q, G, D = 1980, 9330, 4096
@@ -297,6 +312,7 @@ def main():
         ),
         "extract_ms_per_batch64_bf16": round(extract_s * 1e3, 2),
         "serving_clips_per_sec": round(serving_clips_per_sec, 1),
+        "serving_h2d_rate_clips_per_sec": round(serving_h2d_rate, 1),
         "device_distmat_plus_rank_s": round(rank_s, 4),
         "rank_vs_baseline": round(BASELINE_RANK_S / rank_s, 1),
         "rerank_device_s": round(rerank_s, 3),
