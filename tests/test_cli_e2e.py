@@ -96,3 +96,50 @@ def test_cli_evaluate_with_resume(tmp_path):
         run(build_parser().parse_args(base + ["--evaluate", "--resume", ckpt]))
     finally:
         sys.stdout = stdout
+
+
+@pytest.mark.slow
+def test_cli_profile_dir_and_visualize_ranks(tmp_path):
+    """The two observability side-channels through the real driver:
+    --profile-dir captures a jax profiler trace of the first train epoch
+    (reference: tensorboard has no trace; SURVEY §5 'tracing'), and
+    --evaluate --visualize-ranks materializes the distance matrix on host
+    and dumps per-query ranked image strips (reference
+    utils/reidtools.py:18-80 behind the same flag)."""
+    from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+
+    data_root = str(tmp_path / "data")
+    save_dir = str(tmp_path / "log")
+    profile_dir = str(tmp_path / "trace")
+    init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    base = [
+        "--root", data_root, "-d", "synthetic", "-a", "vmgn_tiny",
+        "--height", "64", "--width", "32", "--seq-len", "4",
+        "--train-batch", "4", "--num-instances", "2",
+        "--train-sampler", "RandomIdentitySamplerV1",
+        "--test-sample", "evenly", "--test-batch", "4",
+        "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
+        "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
+    ]
+    stdout = sys.stdout
+    try:
+        run(build_parser().parse_args(
+            base + ["--max-epoch", "1", "--eval-step", "5",
+                    "--profile-dir", profile_dir]
+        ))
+        # the profiler wrote a trace for epoch 1
+        assert glob.glob(osp.join(profile_dir, "**", "*.pb"), recursive=True) \
+            or glob.glob(osp.join(profile_dir, "**", "*.json.gz"), recursive=True)
+
+        ckpt = glob.glob(osp.join(save_dir, "checkpoint_ep1.msgpack"))[0]
+        run(build_parser().parse_args(
+            base + ["--evaluate", "--resume", ckpt, "--visualize-ranks"]
+        ))
+    finally:
+        sys.stdout = stdout
+    strips = glob.glob(osp.join(save_dir, "ranked_results", "*"))
+    assert strips, "no ranked-result dumps written"
