@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "graph/losses (~1.6x faster; vmgn family)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax profiler trace of one train epoch into this dir")
+    p.add_argument("--remat", type=str, default="none",
+                   choices=["none", "dots", "full"],
+                   help="gradient rematerialization over the model forward: "
+                        "trade recompute for activation memory (use when a "
+                        "big-activation model, e.g. resnet3d50, OOMs at the "
+                        "full batch; ~20%% slower at paper-config scale)")
     p.add_argument("--cache-frames", action="store_true",
                    help="cache decoded frames in host RAM across epochs "
                         "(~H*W*3 bytes per distinct frame; keeps the input "
@@ -454,7 +460,7 @@ def run(args):
         model, tx,
         lambda_xent=args.lambda_xent, lambda_htri=args.lambda_htri,
         label_smooth=args.label_smooth, margin=args.margin,
-        soft_margin=args.soft_margin, aug=aug, donate=True,
+        soft_margin=args.soft_margin, aug=aug, donate=True, remat=args.remat,
     )
 
     print("==> Start training")

@@ -38,26 +38,52 @@ def make_train_step(
     soft_margin: bool = True,
     donate: bool = True,
     aug: dict | None = None,
+    remat: str = "none",
 ):
     """Returns train_step(state, imgs, pids, adj, rng) -> (state, metrics).
 
     When `aug` is given (e.g. {'flip_aug': True, 'rand_erase': False}),
     `imgs` may be the raw uint8 (B, S, H, W, 3) batch: on-device
     preprocessing + augmentation fuse into the same XLA program as the
-    forward/backward pass."""
+    forward/backward pass.
+
+    `remat`: gradient rematerialization policy over the model forward —
+    'none' (default: save all activations; fastest when they fit),
+    'dots' (save matmul/conv outputs, recompute elementwise chains), or
+    'full' (save nothing; max memory relief, ~20% slower at paper-config
+    scale per PROFILE.md). The lever for activation-bound configs — e.g.
+    resnet3d50's 3D-conv activations at batch 16 x 8 x 256x128 exceed a
+    single v5e's HBM without it (measured)."""
     epsilon = 0.1 if label_smooth else 0.0
     xent_fn = partial(cross_entropy_label_smooth, epsilon=epsilon)
     htri_fn = partial(batch_hard_triplet, margin=margin, soft=soft_margin)
 
-    def loss_fn(params, batch_stats, imgs, pids, adj, rng):
+    def apply_model(params, batch_stats, imgs, adj, rng):
         r_sub, r_drop = jax.random.split(rng)
-        (outputs, features), mutated = model.apply(
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs,
             adj,
             train=True,
             mutable=["batch_stats"],
             rngs={"subclip": r_sub, "dropout": r_drop},
+        )
+
+    if remat == "dots":
+        apply_model = jax.checkpoint(
+            apply_model,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat == "full":
+        apply_model = jax.checkpoint(
+            apply_model, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    elif remat != "none":
+        raise ValueError(f"unknown remat policy '{remat}'")
+
+    def loss_fn(params, batch_stats, imgs, pids, adj, rng):
+        (outputs, features), mutated = apply_model(
+            params, batch_stats, imgs, adj, rng
         )
         # single-head archs return bare arrays (reference guards the same
         # way, train_vidreid_xent_htri.py:400-408)

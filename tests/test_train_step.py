@@ -147,3 +147,50 @@ def test_bf16_train_step_matches_f32_and_stays_finite():
     np.testing.assert_allclose(
         losses["f32"], losses["bf16"], rtol=0.05, atol=0.05
     )
+
+
+def test_remat_step_matches_plain_step():
+    """--remat must change memory behavior only: with identical state,
+    batch and rng, each policy's updated params and metrics equal the
+    plain step's bit-for-bit on CPU (the recomputed forward is the same
+    program, not an approximation)."""
+    import pytest
+
+    model = tiny_vmgn()
+    tx = init_optim("adam", 1e-3, weight_decay=0.0)
+    x, pids, adj = make_batch(np.random.RandomState(3))
+    rng = jax.random.PRNGKey(7)
+
+    def one_step(remat):
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+        )
+        step = make_train_step(model, tx, donate=False, remat=remat)
+        return step(state, x, pids, adj, rng)
+
+    state0, metrics0 = one_step("none")
+    for policy in ("dots", "full"):
+        state_r, metrics_r = one_step(policy)
+        for k in metrics0:
+            np.testing.assert_array_equal(
+                np.asarray(metrics0[k]), np.asarray(metrics_r[k]), err_msg=k
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            state0.params,
+            state_r.params,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            state0.batch_stats,
+            state_r.batch_stats,
+        )
+
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(model, tx, remat="bogus")(
+            None, x, pids, adj, rng
+        )
