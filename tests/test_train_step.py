@@ -79,6 +79,13 @@ def test_train_step_on_8dev_mesh():
     assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["top1"]) <= 1.0
 
+    # remat composes with GSPMD shardings (jax.checkpoint inside the
+    # sharded program): same batch, same mesh, finite loss
+    step_r = make_train_step(model, tx, donate=False, remat="full")
+    with mesh:
+        state, metrics_r = step_r(state, xs, pidss, adjs, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics_r["loss"]))
+
 
 def test_dp_sharded_matches_replicated():
     """The sharded step must compute the same numbers as single-device."""
