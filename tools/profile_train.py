@@ -216,49 +216,20 @@ def main():
         t = run_step(step, st)
         print(f"experiment donate={donate}: {t*1e3:.1f} ms/step = {B/t:.1f} clips/s")
 
-    # full-remat experiment: recompute the whole forward in the backward
-    import optax
-    from agrl_tpu.data.transforms import preprocess_clips
-    from agrl_tpu.losses import deep_supervision as ds
-
-    def make_remat_step(policy):
-        xent_fn = lambda o, p: cross_entropy_label_smooth(o, p, epsilon=0.1)  # noqa: E731
-        htri_fn = lambda f, p: batch_hard_triplet(f, p, soft=True)  # noqa: E731
-
-        apply = jax.checkpoint(
-            lambda p, bs, imgs, adj, r: model.apply(
-                {"params": p, "batch_stats": bs}, imgs, adj, train=True,
-                mutable=["batch_stats"], rngs={"subclip": r},
-            ),
-            policy=policy, static_argnums=(),
-        )
-
-        def loss_fn(params, batch_stats, imgs, pids, adj, r):
-            (outputs, features), mut = apply(params, batch_stats, imgs, adj, r)
-            xent = ds(xent_fn, list(outputs), pids)
-            htri = ds(htri_fn, list(features), pids)
-            return xent + htri, mut["batch_stats"]
-
-        def step(st, imgs, pids, adj, rng):
-            rng, aug_rng, sub = jax.random.split(rng, 3)
-            imgs = preprocess_clips(imgs, aug_rng, train=True, flip_aug=True)
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, st.batch_stats, imgs, pids, adj, sub
-            )
-            u, no = tx.update(grads, st.opt_state, st.params)
-            return st.replace(
-                step=st.step + 1, params=optax.apply_updates(st.params, u),
-                batch_stats=new_stats, opt_state=no,
-            ), {"loss": loss}
-
-        return jax.jit(step)
-
+    # remat experiments measure the PRODUCTION step (trainer.py's
+    # make_train_step(remat=...), the same code `--remat` wires), not a
+    # hand-rolled replica that could drift from it
     for pname, pol in [
-        ("nothing_saveable(full remat)", jax.checkpoint_policies.nothing_saveable),
-        ("dots_with_no_batch_dims", jax.checkpoint_policies.dots_with_no_batch_dims_saveable),
+        ("full (nothing_saveable)", "full"),
+        ("dots (dots_with_no_batch_dims)", "dots"),
     ]:
         try:
-            t = run_step(make_remat_step(pol), state)
+            t = run_step(
+                make_train_step(
+                    model, tx, aug=dict(flip_aug=True), donate=False, remat=pol
+                ),
+                state,
+            )
             print(f"experiment remat={pname}: {t*1e3:.1f} ms/step = {B/t:.1f} clips/s")
         except Exception as e:
             print(f"experiment remat={pname}: FAILED {type(e).__name__}: {e}")
