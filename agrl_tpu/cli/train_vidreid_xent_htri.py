@@ -137,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent on-disk decoded-frame cache directory: "
                         "JPEG decode cost is paid once per machine — later "
                         "runs stream resized uint8 frames from disk")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="write checkpoints on a background thread (the "
+                        "device->host state fetch overlaps the next epoch; "
+                        "the state is snapshot on device first, so the "
+                        "donated train step cannot corrupt an in-flight save)")
     p.add_argument("--use-cpu", action="store_true")
     p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
     p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
@@ -469,6 +474,12 @@ def run(args):
     best_epoch = start_epoch
     key = jax.random.PRNGKey(args.seed + 1)
 
+    async_ckpt = None
+    if args.async_ckpt:
+        from agrl_tpu.core import AsyncCheckpointer
+
+        async_ckpt = AsyncCheckpointer()
+
     for epoch in range(start_epoch, args.max_epoch):
         t0 = time.time()
         key, epoch_key = jax.random.split(key)
@@ -504,14 +515,19 @@ def run(args):
             if is_best:
                 best_rank1, best_mAP, best_epoch = rank1, mAP, epoch + 1
             if writer is not None:  # one checkpoint/scalar writer per job
-                save_checkpoint(
-                    {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state},
-                    osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack"),
-                    epoch=epoch, rank1=float(rank1), mAP=float(mAP), is_best=is_best,
-                )
+                tree = {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+                fpath = osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack")
+                if async_ckpt is not None:
+                    async_ckpt.save(tree, fpath, epoch=epoch,
+                                    rank1=float(rank1), mAP=float(mAP), is_best=is_best)
+                else:
+                    save_checkpoint(tree, fpath, epoch=epoch,
+                                    rank1=float(rank1), mAP=float(mAP), is_best=is_best)
                 writer.add_scalar("acc/rank1", float(rank1), epoch + 1)
                 writer.add_scalar("acc/mAP", float(mAP), epoch + 1)
 
+    if async_ckpt is not None:
+        async_ckpt.wait()  # the last save must land before the job reports done
     print(f"==> Best Rank-1 {best_rank1:.2%}, mAP: {best_mAP:.2%}, achieved at epoch {best_epoch}")
     elapsed = str(datetime.timedelta(seconds=round(time.time() - start_time)))
     print(f"Finished. Total elapsed time (h:m:s): {elapsed}. "

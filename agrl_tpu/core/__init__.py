@@ -1,4 +1,5 @@
 from agrl_tpu.core.checkpoint import (
+    AsyncCheckpointer,
     load_checkpoint,
     load_variables,
     load_weights_partial,
@@ -6,6 +7,6 @@ from agrl_tpu.core.checkpoint import (
 )
 
 __all__ = [
-    "load_checkpoint", "load_variables", "load_weights_partial",
-    "save_checkpoint",
+    "AsyncCheckpointer", "load_checkpoint", "load_variables",
+    "load_weights_partial", "save_checkpoint",
 ]

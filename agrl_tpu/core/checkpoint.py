@@ -51,6 +51,45 @@ def save_checkpoint(
         shutil.copy(fpath + ".json", best + ".json")
 
 
+class AsyncCheckpointer:
+    """Non-blocking `save_checkpoint`: the device->host fetch and msgpack
+    serialization run on a background thread while training continues.
+
+    On a tunnel/DCN-attached host the fetch of a full vmgn+adam state is
+    seconds of dead time per save; overlapping it with the next epoch is
+    the standard TPU-production pattern (what orbax's async checkpointer
+    does for sharded trees — this state is replicated, so a thread + the
+    existing msgpack writer suffice).
+
+    Donation safety: the train step donates the state buffers, so the
+    caller's pytree may be invalidated by the NEXT step while the fetch is
+    still in flight. `save` therefore snapshots on device first
+    (`jnp.copy`, an HBM->HBM copy, ~ms) and fetches from the snapshot.
+    One save is in flight at a time (a new `save` joins the previous one
+    first), bounding extra HBM at one state copy and keeping checkpoints
+    in order; background failures surface at the next `save`/`wait`.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._future = None
+
+    def save(self, state_tree, fpath: str, **meta) -> None:
+        self.wait()
+        import jax.numpy as jnp
+
+        snapshot = jax.tree.map(jnp.copy, state_tree)
+        self._future = self._pool.submit(save_checkpoint, snapshot, fpath, **meta)
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) lands; re-raise its error."""
+        if self._future is not None:
+            future, self._future = self._future, None
+            future.result()
+
+
 def load_checkpoint(template_tree, fpath: str):
     """Full restore: returns (state_tree, meta dict). `template_tree` must
     have the same structure (a freshly created TrainState's pieces)."""

@@ -199,18 +199,26 @@ def main():
     # serving pays a REAL host->device transfer per request (uint8 frames),
     # unlike the extract number whose inputs live on device. On this rig
     # that transfer rides the axon tunnel (~40 MB/s), so also report the
-    # pure-H2D rate for the same bytes: serving landing at/above it means
-    # the code is transfer-bound by the rig (its one-deep pipeline overlaps
-    # transfer with compute), not overhead-bound — a local-PCIe host moves
-    # the same bytes ~200x faster and serves compute-bound near the
-    # extract rate.
+    # pure-H2D rate for the bytes the extractor ACTUALLY moves — it pads
+    # the final chunk to a full batch, so a (2B+13)-clip request transfers
+    # ceil((2B+13)/B)*B = 3B clips of frame bytes. Serving landing at/above
+    # this rate means the code is transfer-bound by the rig (its one-deep
+    # pipeline overlaps transfer with compute), not overhead-bound — a
+    # local-PCIe host moves the same bytes ~375x faster (15 GB/s vs
+    # 40 MB/s; see PROFILE.md "Serving path") and serves compute-bound
+    # near the extract rate.
+    n_chunks = -(-req.shape[0] // B)
+    padded = np.ascontiguousarray(
+        np.broadcast_to(req[:1], (n_chunks * B,) + req.shape[1:])
+    )
     h2d_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        d = jnp.asarray(req)
+        d = jnp.asarray(padded)
         _ = np.asarray(d[0, 0, 0, 0, 0])  # force materialization
         h2d_s = min(h2d_s, time.perf_counter() - t0)
     serving_h2d_rate = req.shape[0] / h2d_s
+    del padded, d
 
     # ---- MARS-scale eval: distmat + CMC/mAP fully on device ----
     Q, G, D = 1980, 9330, 4096

@@ -9,6 +9,29 @@ import sys
 import pytest
 
 
+def _tiny_run(tmp_path):
+    """Shared setup: synthetic dataset + the tiny-VMGN base argv used by the
+    resume/observability tests. Returns (data_root, save_dir, base_argv)."""
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+
+    data_root = str(tmp_path / "data")
+    save_dir = str(tmp_path / "log")
+    init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    base = [
+        "--root", data_root, "-d", "synthetic", "-a", "vmgn_tiny",
+        "--height", "64", "--width", "32", "--seq-len", "4",
+        "--train-batch", "4", "--num-instances", "2",
+        "--train-sampler", "RandomIdentitySamplerV1",
+        "--test-sample", "evenly", "--test-batch", "4",
+        "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
+        "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
+    ]
+    return data_root, save_dir, base
+
+
 @pytest.mark.slow
 def test_cli_train_and_eval(tmp_path):
     from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
@@ -70,28 +93,17 @@ def test_cli_train_and_eval(tmp_path):
 
 @pytest.mark.slow
 def test_cli_evaluate_with_resume(tmp_path):
-    """--evaluate with --load-weights restores a trained checkpoint."""
+    """--evaluate with --load-weights restores a trained checkpoint.
+    Training runs with --async-ckpt, so this also proves a checkpoint
+    written by the background thread is bit-loadable by --resume."""
     from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
-    from agrl_tpu.data.datasets import init_vidreid_dataset
 
-    data_root = str(tmp_path / "data")
-    save_dir = str(tmp_path / "log")
-    init_vidreid_dataset(
-        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
-        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
-    )
-    base = [
-        "--root", data_root, "-d", "synthetic", "-a", "vmgn_tiny",
-        "--height", "64", "--width", "32", "--seq-len", "4",
-        "--train-batch", "4", "--num-instances", "2",
-        "--train-sampler", "RandomIdentitySamplerV1",
-        "--test-sample", "evenly", "--test-batch", "4",
-        "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
-        "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
-    ]
+    _, save_dir, base = _tiny_run(tmp_path)
     stdout = sys.stdout
     try:
-        run(build_parser().parse_args(base + ["--max-epoch", "1", "--eval-step", "1"]))
+        run(build_parser().parse_args(
+            base + ["--max-epoch", "1", "--eval-step", "1", "--async-ckpt"]
+        ))
         ckpt = glob.glob(osp.join(save_dir, "checkpoint_ep1.msgpack"))[0]
         run(build_parser().parse_args(base + ["--evaluate", "--resume", ckpt]))
     finally:
@@ -107,24 +119,9 @@ def test_cli_profile_dir_and_visualize_ranks(tmp_path):
     and dumps per-query ranked image strips (reference
     utils/reidtools.py:18-80 behind the same flag)."""
     from agrl_tpu.cli.train_vidreid_xent_htri import build_parser, run
-    from agrl_tpu.data.datasets import init_vidreid_dataset
 
-    data_root = str(tmp_path / "data")
-    save_dir = str(tmp_path / "log")
+    _, save_dir, base = _tiny_run(tmp_path)
     profile_dir = str(tmp_path / "trace")
-    init_vidreid_dataset(
-        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
-        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
-    )
-    base = [
-        "--root", data_root, "-d", "synthetic", "-a", "vmgn_tiny",
-        "--height", "64", "--width", "32", "--seq-len", "4",
-        "--train-batch", "4", "--num-instances", "2",
-        "--train-sampler", "RandomIdentitySamplerV1",
-        "--test-sample", "evenly", "--test-batch", "4",
-        "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
-        "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
-    ]
     stdout = sys.stdout
     try:
         run(build_parser().parse_args(

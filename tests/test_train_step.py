@@ -197,7 +197,6 @@ def test_remat_step_matches_plain_step():
             state_r.batch_stats,
         )
 
+    # validation happens at factory time, before any step runs
     with pytest.raises(ValueError, match="remat"):
-        make_train_step(model, tx, remat="bogus")(
-            None, x, pids, adj, rng
-        )
+        make_train_step(model, tx, remat="bogus")
