@@ -73,14 +73,27 @@ class AsyncCheckpointer:
     def __init__(self):
         from concurrent.futures import ThreadPoolExecutor
 
+        import jax.numpy as jnp
+
         self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
         self._future = None
+        # ONE dispatch for the whole-tree snapshot: per-leaf jnp.copy costs
+        # a device round-trip each (~600 leaves = seconds over a tunnel/DCN
+        # link); jitted, the copy is a single XLA program
+        self._snapshot = jax.jit(lambda tree: jax.tree.map(jnp.copy, tree))
 
     def save(self, state_tree, fpath: str, **meta) -> None:
         self.wait()
-        import jax.numpy as jnp
-
-        snapshot = jax.tree.map(jnp.copy, state_tree)
+        # only jax arrays need the device snapshot (and only they are
+        # donation-vulnerable); host leaves pass through untouched so the
+        # serialized bytes match the synchronous path exactly
+        leaves, treedef = jax.tree.flatten(state_tree)
+        arr_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+        if arr_idx:
+            copies = self._snapshot([leaves[i] for i in arr_idx])
+            for i, c in zip(arr_idx, copies):
+                leaves[i] = c
+        snapshot = jax.tree.unflatten(treedef, leaves)
         self._future = self._pool.submit(save_checkpoint, snapshot, fpath, **meta)
 
     def wait(self) -> None:
