@@ -432,6 +432,28 @@ def run(args):
     mesh = make_mesh(dp=auto_dp, mp=args.mesh_mp)
     print(f"Mesh: dp={mesh.shape['dp']} mp={mesh.shape['mp']} (of {n_dev} devices)")
 
+    if mesh.size > 1:
+        # place the state on the mesh EXPLICITLY: wide 2-D kernels (2048-d
+        # classifier/graph projections) shard over 'mp', everything else
+        # replicates; the adam moments follow the same shape rule so they
+        # shard with their kernels. Without this annotation GSPMD gets no
+        # tensor-parallel placement on the CLI path and mp devices would
+        # just replicate work. put_sharded_tree handles multi-host (every
+        # process holds the same values here: shared-seed init or a
+        # checkpoint every host read).
+        from agrl_tpu.parallel import param_shardings, put_sharded_tree
+
+        state = state.replace(
+            params=put_sharded_tree(state.params, param_shardings(mesh, state.params)),
+            batch_stats=put_sharded_tree(
+                state.batch_stats, param_shardings(mesh, state.batch_stats)
+            ),
+            opt_state=put_sharded_tree(
+                state.opt_state, param_shardings(mesh, state.opt_state)
+            ),
+            step=put_sharded_tree(state.step, param_shardings(mesh, state.step)),
+        )
+
     evaluator = Evaluator(
         model, test_sample=args.test_sample, pool=args.pool, bf16=args.bf16_eval,
         clip_batch=args.clip_batch,
@@ -514,8 +536,15 @@ def run(args):
             is_best = rank1 > best_rank1
             if is_best:
                 best_rank1, best_mAP, best_epoch = rank1, mAP, epoch + 1
+            tree = {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+            if jax.process_count() > 1:
+                # COLLECTIVE: mp-sharded leaves span hosts in a multi-host
+                # run — every process must join the gather, so this runs
+                # BEFORE the rank-0 writer gate
+                from agrl_tpu.core import fetch_global_tree
+
+                tree = fetch_global_tree(tree, fetch_local=writer is not None)
             if writer is not None:  # one checkpoint/scalar writer per job
-                tree = {"params": state.params, "batch_stats": state.batch_stats, "opt_state": state.opt_state}
                 fpath = osp.join(args.save_dir, f"checkpoint_ep{epoch + 1}.msgpack")
                 if async_ckpt is not None:
                     async_ckpt.save(tree, fpath, epoch=epoch,

@@ -1,5 +1,6 @@
 from agrl_tpu.core.checkpoint import (
     AsyncCheckpointer,
+    fetch_global_tree,
     load_checkpoint,
     load_variables,
     load_weights_partial,
@@ -7,6 +8,6 @@ from agrl_tpu.core.checkpoint import (
 )
 
 __all__ = [
-    "AsyncCheckpointer", "load_checkpoint", "load_variables",
-    "load_weights_partial", "save_checkpoint",
+    "AsyncCheckpointer", "fetch_global_tree", "load_checkpoint",
+    "load_variables", "load_weights_partial", "save_checkpoint",
 ]

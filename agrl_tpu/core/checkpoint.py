@@ -51,6 +51,37 @@ def save_checkpoint(
         shutil.copy(fpath + ".json", best + ".json")
 
 
+def fetch_global_tree(tree, fetch_local: bool = True):
+    """Fetch every leaf to host numpy, gathering shards that span
+    processes.
+
+    A replicated leaf (or anything single-process) is a plain np.asarray.
+    A leaf sharded across HOSTS — e.g. a tensor-parallel ('mp') kernel in
+    a multi-host run — is neither fully addressable nor fully replicated,
+    so np.asarray raises; those gather via
+    multihost_utils.process_allgather. That makes this function a
+    COLLECTIVE whenever such leaves exist: EVERY process must call it (in
+    the same tree order) BEFORE any rank-0 gating, or the job deadlocks.
+    The CLI does exactly that around its checkpoint saves.
+
+    `fetch_local=False` skips the np.asarray on leaves that need no
+    collective (non-writer processes call with False: they must JOIN the
+    gathers, but fetching hundreds of MB of replicated state they will
+    never write is pure waste)."""
+    from jax.experimental import multihost_utils
+
+    def fetch(leaf):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+        return np.asarray(leaf) if fetch_local else leaf
+
+    return jax.tree.map(fetch, tree)
+
+
 class AsyncCheckpointer:
     """Non-blocking `save_checkpoint`: the device->host fetch and msgpack
     serialization run on a background thread while training continues.

@@ -4,6 +4,7 @@ from agrl_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
     put_global,
+    put_sharded_tree,
     replicated,
     shard_batch,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "make_mesh",
     "param_shardings",
     "put_global",
+    "put_sharded_tree",
     "replicated",
     "shard_batch",
 ]

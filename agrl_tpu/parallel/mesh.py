@@ -87,6 +87,25 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def put_sharded_tree(tree, shardings):
+    """Place a pytree onto per-leaf shardings; works single- AND
+    multi-process.
+
+    Single process: plain device_put (device-to-device when the leaf is
+    already on device). Multi-process: the leaf value must be the SAME on
+    every process (fresh init from a shared seed, or a checkpoint read by
+    every host); each process contributes its addressable shards via
+    make_array_from_callback — device_put cannot target shardings that
+    span non-addressable devices."""
+    def place(x, s):
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        hx = np.asarray(x)
+        return jax.make_array_from_callback(hx.shape, s, lambda idx: hx[idx])
+
+    return jax.tree.map(place, tree, shardings)
+
+
 def param_shardings(
     mesh: Mesh,
     params,

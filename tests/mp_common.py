@@ -77,5 +77,60 @@ def run_two_steps(shard: tuple[int, int] | None = None):
     return metrics
 
 
+def expected_ckpt_tree():
+    """Deterministic host tree for the cross-host checkpoint test."""
+    rng = np.random.RandomState(42)
+    return {
+        "params": {
+            "wide": rng.randn(16, 64).astype(np.float32),
+            "bias": rng.randn(64).astype(np.float32),
+        },
+        "opt_state": {"count": np.asarray(3, np.int32)},
+    }
+
+
+def cross_host_ckpt_roundtrip(out_path: str):
+    """Tensor-parallel multi-host checkpointing: place a kernel sharded
+    over 'mp' across BOTH processes (neither fully addressable nor fully
+    replicated — plain np.asarray raises on it), gather it back with
+    fetch_global_tree (collective: both processes call it), and have
+    process 0 write the checkpoint. Returns per-process checksums."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from agrl_tpu.core import fetch_global_tree, save_checkpoint
+    from agrl_tpu.parallel import make_mesh, put_sharded_tree
+
+    mesh = make_mesh(mp=2)  # dp = n_devices/2; mp pairs span the device grid
+    tree = expected_ckpt_tree()
+    shardings = {
+        "params": {
+            "wide": NamedSharding(mesh, P(None, "mp")),
+            "bias": NamedSharding(mesh, P()),
+        },
+        "opt_state": {"count": NamedSharding(mesh, P())},
+    }
+    placed = put_sharded_tree(tree, shardings)
+    wide = placed["params"]["wide"]
+    assert not wide.is_fully_addressable, "mp shards must span processes"
+    assert not wide.is_fully_replicated
+
+    # exactly the CLI's call shape: only the writer fetches replicated
+    # leaves; the other process joins the collective gathers and nothing
+    # else
+    host = fetch_global_tree(placed, fetch_local=jax.process_index() == 0)
+    for path in (("params", "wide"), ("params", "bias"), ("opt_state", "count")):
+        a, b = tree, host
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_array_equal(a, b), path
+
+    if jax.process_index() == 0:
+        save_checkpoint(host, out_path, epoch=7)
+    return {
+        "wide_sum": float(np.abs(host["params"]["wide"]).sum()),
+        "bias_sum": float(np.abs(host["params"]["bias"]).sum()),
+    }
+
+
 if __name__ == "__main__":
     print({k: float(np.asarray(v)) for k, v in run_two_steps().items()})

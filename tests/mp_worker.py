@@ -13,6 +13,8 @@ import sys
 
 def main():
     pid, nproc, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
+    ckpt = sys.argv[6] if len(sys.argv) > 6 else ""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -20,9 +22,12 @@ def main():
 
     import numpy as np
 
-    from tests.mp_common import run_two_steps
+    from tests.mp_common import cross_host_ckpt_roundtrip, run_two_steps
 
-    metrics = run_two_steps(shard=(pid, nproc))
+    if mode == "ckpt":
+        metrics = cross_host_ckpt_roundtrip(ckpt)
+    else:
+        metrics = run_two_steps(shard=(pid, nproc))
     with open(out, "w") as f:
         json.dump(
             {

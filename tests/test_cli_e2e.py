@@ -28,6 +28,10 @@ def _tiny_run(tmp_path):
         "--test-sample", "evenly", "--test-batch", "4",
         "--use-pose", "--learn-graph", "--pyramid-part", "--num-gb", "1",
         "--save-dir", save_dir, "-j", "2", "--print-freq", "1",
+        # a dp=4 x mp=2 mesh over the 8 virtual devices: the CLI's
+        # explicit state placement (put_sharded_tree) runs on both the
+        # train and the --evaluate path
+        "--mesh-mp", "2",
     ]
     return data_root, save_dir, base
 

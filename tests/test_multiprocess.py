@@ -66,6 +66,58 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert results[0][k] == pytest.approx(float(np.asarray(want[k])), abs=2e-3), k
 
 
+@pytest.mark.slow
+def test_two_process_tp_checkpoint_gather(tmp_path):
+    """A tensor-parallel ('mp') kernel sharded ACROSS the two processes is
+    neither fully addressable nor fully replicated — np.asarray raises on
+    it, so the CLI gathers with core.fetch_global_tree (collectively, on
+    every process) before the rank-0 save. This runs that exact flow with
+    2 real jax.distributed processes and verifies the written checkpoint
+    bit-equals the original host values."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    ckpt = str(tmp_path / "tp_ckpt.msgpack")
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+                 str(pid), "2", str(port), out, "ckpt", ckpt],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    results = [json.load(open(o)) for o in outs]
+    assert results[0] == pytest.approx(results[1])  # both saw the same gather
+
+    # the checkpoint process 0 wrote restores bit-exactly
+    from .mp_common import expected_ckpt_tree
+
+    from agrl_tpu.core import load_checkpoint
+
+    expect = expected_ckpt_tree()
+    loaded, meta = load_checkpoint(
+        {"params": {"wide": np.zeros_like(expect["params"]["wide"]),
+                    "bias": np.zeros_like(expect["params"]["bias"])},
+         "opt_state": {"count": np.zeros_like(expect["opt_state"]["count"])}},
+        ckpt,
+    )
+    assert meta["epoch"] == 7
+    np.testing.assert_array_equal(expect["params"]["wide"], loaded["params"]["wide"])
+    np.testing.assert_array_equal(expect["params"]["bias"], loaded["params"]["bias"])
+    np.testing.assert_array_equal(expect["opt_state"]["count"], loaded["opt_state"]["count"])
+
+
 def test_cliploader_process_shard_partitions_batches():
     """Two sharded loaders with the same seed must cover each global batch
     exactly, in order, with the per-item rng seeds of the unsharded run."""

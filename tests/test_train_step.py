@@ -114,6 +114,89 @@ def test_dp_sharded_matches_replicated():
     )
 
 
+def test_full_state_mesh_placement_matches_and_sticks():
+    """The CLI's mesh placement (put_sharded_tree over params AND the adam
+    moments with the param_shardings shape rule): wide kernels must
+    actually shard over 'mp', their moments must shard with them, the
+    sharded step must match the single-device step, and the step's OUTPUT
+    state must keep the mp sharding (no silent re-replication)."""
+    from jax.sharding import PartitionSpec as P
+
+    from agrl_tpu.parallel import put_sharded_tree
+
+    model = tiny_vmgn(num_gb=1)
+    tx = init_optim("adam", 1e-3)
+    state0 = create_train_state(
+        model, tx, jax.random.PRNGKey(0), seq_len=8, height=32, width=32
+    )
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.RandomState(5)
+    x, pids, adj = make_batch(rng, B=8)
+    key = jax.random.PRNGKey(4)
+    ref_state, m_single = step(state0, x, pids, adj, key)
+
+    mesh = make_mesh(dp=4, mp=2)
+    min_size = 1024  # tiny model: lower the wide-kernel threshold
+    state = state0.replace(
+        params=put_sharded_tree(
+            state0.params, param_shardings(mesh, state0.params, min_size=min_size)
+        ),
+        batch_stats=put_sharded_tree(
+            state0.batch_stats,
+            param_shardings(mesh, state0.batch_stats, min_size=min_size),
+        ),
+        opt_state=put_sharded_tree(
+            state0.opt_state,
+            param_shardings(mesh, state0.opt_state, min_size=min_size),
+        ),
+        step=put_sharded_tree(
+            state0.step, param_shardings(mesh, state0.step, min_size=min_size)
+        ),
+    )
+
+    def mp_sharded_leaves(tree):
+        return [
+            l for l in jax.tree.leaves(tree)
+            if isinstance(l, jax.Array)
+            and l.sharding.spec == P(None, "mp")
+        ]
+
+    n_params_mp = len(mp_sharded_leaves(state.params))
+    assert n_params_mp > 0, "no kernel sharded over mp — placement is a no-op"
+    # adam's mu/nu mirror the param shapes, so the same rule shards them
+    assert len(mp_sharded_leaves(state.opt_state)) == 2 * n_params_mp
+
+    with mesh:
+        xs, pidss, adjs = shard_batch(mesh, x, pids, adj)
+        new_state, m_shard = step(state, xs, pidss, adjs, key)
+        jax.block_until_ready(m_shard)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4
+    )
+    # updated params track single-device within the adam step bound: the
+    # dp-psum reduction order perturbs near-zero gradients, and adam's
+    # m/sqrt(v) normalization can flip those params' first-step DIRECTION,
+    # so the honest bound is a couple of lr (=1e-3), not float noise
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=0
+        ),
+        ref_state.params, new_state.params,
+    )
+    # a second step from the updated states must also agree — wrong
+    # updates compound, reduction noise does not
+    _, m2_single = step(ref_state, x, pids, adj, jax.random.PRNGKey(9))
+    with mesh:
+        new_state2, m2_shard = step(new_state, xs, pidss, adjs, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        float(m2_single["loss"]), float(m2_shard["loss"]), rtol=5e-3
+    )
+    # the tp placement survives the steps — epoch 2 starts sharded
+    assert len(mp_sharded_leaves(new_state2.params)) == n_params_mp
+    assert len(mp_sharded_leaves(new_state2.opt_state)) == 2 * n_params_mp
+
+
 def test_bf16_train_step_matches_f32_and_stays_finite():
     """Mixed-precision (--bf16-train) guard: the bf16-backbone train step
     must produce finite losses tracking the f32 step within bf16 noise
