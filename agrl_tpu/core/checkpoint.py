@@ -99,6 +99,12 @@ class AsyncCheckpointer:
     One save is in flight at a time (a new `save` joins the previous one
     first), bounding extra HBM at one state copy and keeping checkpoints
     in order; background failures surface at the next `save`/`wait`.
+
+    Multi-host: the CLI gathers cross-host shards with fetch_global_tree
+    BEFORE calling save (a collective cannot run on a background thread
+    without racing the training step's collectives), so there async hides
+    the serialization+write, not the gather; numpy leaves pass through
+    the snapshot untouched.
     """
 
     def __init__(self):
