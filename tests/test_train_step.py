@@ -197,6 +197,43 @@ def test_full_state_mesh_placement_matches_and_sticks():
     assert len(mp_sharded_leaves(new_state2.opt_state)) == 2 * n_params_mp
 
 
+def test_mesh_placement_handles_every_optimizer_state():
+    """The CLI maps the param_shardings shape rule over WHATEVER pytree
+    the chosen optimizer keeps (adam moments, sgd trace, adabound/radam
+    custom states, schedule counts) — every registered optimizer's state
+    must place onto the mesh without error, with moment-like leaves
+    sharded alongside their kernels."""
+    from jax.sharding import PartitionSpec as P
+
+    from agrl_tpu.optim.optimizers import OPTIMIZER_NAMES
+    from agrl_tpu.parallel import put_sharded_tree
+
+    mesh = make_mesh(dp=4, mp=2)
+    params = {
+        "wide": jnp.zeros((64, 64)),   # > min_size, mp-divisible: shards
+        "bias": jnp.zeros((64,)),
+    }
+    for name in OPTIMIZER_NAMES:
+        tx = init_optim(name, 1e-3, weight_decay=5e-4, base_lr=1e-3)
+        opt_state = tx.init(params)
+        placed = put_sharded_tree(
+            opt_state, param_shardings(mesh, opt_state, min_size=1024)
+        )
+        # momentum/variance leaves mirror the kernel shape, so the rule
+        # must shard them over mp (sgd without momentum would have none,
+        # but every registered optimizer here keeps at least one)
+        mp_leaves = [
+            l for l in jax.tree.leaves(placed)
+            if isinstance(l, jax.Array) and l.sharding.spec == P(None, "mp")
+        ]
+        assert mp_leaves, f"{name}: no moment leaf sharded over mp"
+        # and a gradient step through the placed state stays consistent
+        grads = jax.tree.map(jnp.ones_like, params)
+        with mesh:
+            updates, _ = tx.update(grads, placed, params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(updates))
+
+
 def test_bf16_train_step_matches_f32_and_stays_finite():
     """Mixed-precision (--bf16-train) guard: the bf16-backbone train step
     must produce finite losses tracking the f32 step within bf16 noise
