@@ -132,5 +132,41 @@ def cross_host_ckpt_roundtrip(out_path: str):
     }
 
 
+def multihost_evaluator_eval(data_root: str):
+    """The CLI's multi-host evaluation pattern with real processes: every
+    process loads the SAME query/gallery (eval loaders are deliberately
+    not process-sharded), the Evaluator replicates the variables and
+    dp-shards every batch over the GLOBAL mesh via cross-host device_put
+    — including the ragged tail batch that pads to the dp multiple.
+    Both processes must report identical rank1/mAP, equal to a
+    single-process run on the same data."""
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+    from agrl_tpu.data.loader import ClipLoader, VideoClipDataset
+    from agrl_tpu.engine.evaluator import Evaluator
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.parallel import make_mesh
+
+    ds = init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+    kw = dict(seq_len=4, sample="evenly", height=64, width=32,
+              pose_info=ds.process_poses, num_split=4, pyramid_part=True)
+    qloader = ClipLoader(VideoClipDataset(ds.query, **kw), batch_size=8, num_workers=1)
+    gloader = ClipLoader(VideoClipDataset(ds.gallery, **kw), batch_size=8, num_workers=1)
+    model = init_model("vmgn_tiny", num_classes=3, loss={"xent", "htri"},
+                       num_split=4, pyramid_part=True, num_gb=1,
+                       use_pose=True, learn_graph=True)
+    variables = init_params(
+        model, jax.random.PRNGKey(0), seq_len=4, height=64, width=32
+    )
+    ev = Evaluator(model, test_sample="evenly")
+    mesh = make_mesh()  # every global device on 'dp'
+    r1, mAP = ev.evaluate(
+        variables, qloader, gloader, dist_metric="cosine", mesh=mesh
+    )
+    return {"rank1": float(r1), "mAP": float(mAP)}
+
+
 if __name__ == "__main__":
     print({k: float(np.asarray(v)) for k, v in run_two_steps().items()})

@@ -22,10 +22,16 @@ def main():
 
     import numpy as np
 
-    from tests.mp_common import cross_host_ckpt_roundtrip, run_two_steps
+    from tests.mp_common import (
+        cross_host_ckpt_roundtrip,
+        multihost_evaluator_eval,
+        run_two_steps,
+    )
 
     if mode == "ckpt":
         metrics = cross_host_ckpt_roundtrip(ckpt)
+    elif mode == "eval":
+        metrics = multihost_evaluator_eval(ckpt)  # arg doubles as data root
     else:
         metrics = run_two_steps(shard=(pid, nproc))
     with open(out, "w") as f:

@@ -118,6 +118,56 @@ def test_two_process_tp_checkpoint_gather(tmp_path):
     np.testing.assert_array_equal(expect["opt_state"]["count"], loaded["opt_state"]["count"])
 
 
+@pytest.mark.slow
+def test_two_process_evaluator_matches_single_process(tmp_path):
+    """Multi-host EVALUATION end to end: 2 real jax.distributed processes
+    run the Evaluator over the global 8-device mesh (cross-host
+    device_put of replicated variables + dp-sharded batches, ragged tail
+    padded) and must agree with each other and with a single-process run
+    on the same data."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    data_root = str(tmp_path / "data")
+
+    # materialize the dataset ONCE before the workers race to read it
+    from .mp_common import multihost_evaluator_eval
+
+    from agrl_tpu.data.datasets import init_vidreid_dataset
+
+    init_vidreid_dataset(
+        "synthetic", root=data_root, num_pids=3, tracklets_per_pid=2,
+        frames_per_tracklet=(5, 8), height=64, width=32, verbose=False,
+    )
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+                 str(pid), "2", str(port), out, "eval", data_root],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    results = [json.load(open(o)) for o in outs]
+    assert results[0]["rank1"] == pytest.approx(results[1]["rank1"], abs=1e-6)
+    assert results[0]["mAP"] == pytest.approx(results[1]["mAP"], abs=1e-6)
+
+    # single-process oracle on this process's 8 virtual devices
+    want = multihost_evaluator_eval(data_root)
+    assert results[0]["rank1"] == pytest.approx(want["rank1"], abs=1e-4)
+    assert results[0]["mAP"] == pytest.approx(want["mAP"], abs=1e-4)
+
+
 def test_cliploader_process_shard_partitions_batches():
     """Two sharded loaders with the same seed must cover each global batch
     exactly, in order, with the per-item rng seeds of the unsharded run."""
