@@ -141,7 +141,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write checkpoints on a background thread (the "
                         "device->host state fetch overlaps the next epoch; "
                         "the state is snapshot on device first, so the "
-                        "donated train step cannot corrupt an in-flight save)")
+                        "donated train step cannot corrupt an in-flight "
+                        "save). Multi-host runs still fetch synchronously "
+                        "— the cross-host gather is a collective — so "
+                        "there only serialization+write are hidden")
     p.add_argument("--use-cpu", action="store_true")
     p.add_argument("--gpu-devices", default="0", type=str, help="(compat, unused on TPU)")
     p.add_argument("--use-avai-gpus", action="store_true", help="(compat, unused on TPU)")
@@ -434,25 +437,15 @@ def run(args):
 
     if mesh.size > 1:
         # place the state on the mesh EXPLICITLY: wide 2-D kernels (2048-d
-        # classifier/graph projections) shard over 'mp', everything else
-        # replicates; the adam moments follow the same shape rule so they
-        # shard with their kernels. Without this annotation GSPMD gets no
-        # tensor-parallel placement on the CLI path and mp devices would
-        # just replicate work. put_sharded_tree handles multi-host (every
-        # process holds the same values here: shared-seed init or a
-        # checkpoint every host read).
-        from agrl_tpu.parallel import param_shardings, put_sharded_tree
+        # classifier/graph projections) and their adam moments shard over
+        # 'mp', everything else replicates. Without this annotation GSPMD
+        # gets no tensor-parallel placement on the CLI path and mp devices
+        # would just replicate work. Multi-host is fine: every process
+        # holds the same values here (shared-seed init or a checkpoint
+        # every host read).
+        from agrl_tpu.parallel import place_state
 
-        state = state.replace(
-            params=put_sharded_tree(state.params, param_shardings(mesh, state.params)),
-            batch_stats=put_sharded_tree(
-                state.batch_stats, param_shardings(mesh, state.batch_stats)
-            ),
-            opt_state=put_sharded_tree(
-                state.opt_state, param_shardings(mesh, state.opt_state)
-            ),
-            step=put_sharded_tree(state.step, param_shardings(mesh, state.step)),
-        )
+        state = place_state(state, mesh)
 
     evaluator = Evaluator(
         model, test_sample=args.test_sample, pool=args.pool, bf16=args.bf16_eval,

@@ -3,6 +3,7 @@ from agrl_tpu.parallel.mesh import (
     initialize_distributed,
     make_mesh,
     param_shardings,
+    place_state,
     put_global,
     put_sharded_tree,
     replicated,
@@ -14,6 +15,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "param_shardings",
+    "place_state",
     "put_global",
     "put_sharded_tree",
     "replicated",

@@ -89,21 +89,35 @@ def shard_batch(mesh: Mesh, *arrays):
 
 def put_sharded_tree(tree, shardings):
     """Place a pytree onto per-leaf shardings; works single- AND
-    multi-process.
+    multi-process (device_put accepts shardings that span other hosts'
+    devices — each process contributes its addressable shards, verified
+    with 2 real jax.distributed processes in tests/test_multiprocess.py).
+    Multi-process contract: the leaf VALUE must be the same on every
+    process (fresh init from a shared seed, or a checkpoint every host
+    read)."""
+    return jax.tree.map(jax.device_put, tree, shardings)
 
-    Single process: plain device_put (device-to-device when the leaf is
-    already on device). Multi-process: the leaf value must be the SAME on
-    every process (fresh init from a shared seed, or a checkpoint read by
-    every host); each process contributes its addressable shards via
-    make_array_from_callback — device_put cannot target shardings that
-    span non-addressable devices."""
-    def place(x, s):
-        if jax.process_count() == 1:
-            return jax.device_put(x, s)
-        hx = np.asarray(x)
-        return jax.make_array_from_callback(hx.shape, s, lambda idx: hx[idx])
 
-    return jax.tree.map(place, tree, shardings)
+def place_state(state, mesh: Mesh, min_size: int | None = None):
+    """Place a whole TrainState onto the mesh — THE production placement,
+    shared by the CLI, dryrun_multichip, and the tests so they cannot
+    drift: wide 2-D kernels (classifier/graph projections) and their
+    optimizer moments shard over 'mp' (the param_shardings shape rule,
+    applied to every state collection), everything else replicates.
+
+    `min_size`: forwarded to param_shardings (tests lower it so tiny
+    models still exercise the mp path); None = the production default."""
+    kw = {} if min_size is None else {"min_size": min_size}
+
+    def place(tree):
+        return put_sharded_tree(tree, param_shardings(mesh, tree, **kw))
+
+    return state.replace(
+        params=place(state.params),
+        batch_stats=place(state.batch_stats),
+        opt_state=place(state.opt_state),
+        step=place(state.step),
+    )
 
 
 def param_shardings(

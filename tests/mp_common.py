@@ -122,7 +122,7 @@ def cross_host_ckpt_roundtrip(out_path: str):
         a, b = tree, host
         for k in path:
             a, b = a[k], b[k]
-        np.testing.assert_array_equal(a, b), path
+        np.testing.assert_array_equal(a, b, err_msg=str(path))
 
     if jax.process_index() == 0:
         save_checkpoint(host, out_path, epoch=7)

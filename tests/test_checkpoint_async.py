@@ -64,13 +64,38 @@ def test_async_save_survives_donated_originals(tmp_path):
     assert meta["epoch"] == 0
 
 
-def test_async_saves_are_ordered_and_one_in_flight(tmp_path):
+def test_async_saves_are_ordered_and_one_in_flight(tmp_path, monkeypatch):
+    # instrument the writer: record each save's [start, end) window so the
+    # one-in-flight guarantee (a new save joins the previous one first —
+    # what bounds extra HBM at one snapshot) is actually asserted
+    import time
+
+    from agrl_tpu.core import checkpoint as ckpt_mod
+
+    windows = []
+    real_save = ckpt_mod.save_checkpoint
+
+    def slow_save(*args, **kw):
+        t0 = time.monotonic()
+        time.sleep(0.05)
+        real_save(*args, **kw)
+        windows.append((t0, time.monotonic()))
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", slow_save)
+
     ck = AsyncCheckpointer()
     trees = [_state_tree(seed=s) for s in range(3)]
+    submit_times = []
     for i, t in enumerate(trees):
         ck.save(t, str(tmp_path / f"ep{i}.msgpack"), epoch=i)
+        submit_times.append(time.monotonic())
     ck.wait()
     ck.wait()  # idempotent
+
+    assert len(windows) == 3
+    # save k+1 was submitted only after save k's window closed
+    for k in range(2):
+        assert submit_times[k + 1] >= windows[k][1], (k, submit_times, windows)
     for i, t in enumerate(trees):
         expect = jax.tree.map(np.asarray, t)
         loaded, meta = load_checkpoint(

@@ -115,14 +115,14 @@ def test_dp_sharded_matches_replicated():
 
 
 def test_full_state_mesh_placement_matches_and_sticks():
-    """The CLI's mesh placement (put_sharded_tree over params AND the adam
-    moments with the param_shardings shape rule): wide kernels must
-    actually shard over 'mp', their moments must shard with them, the
-    sharded step must match the single-device step, and the step's OUTPUT
-    state must keep the mp sharding (no silent re-replication)."""
+    """The CLI's mesh placement (parallel.place_state — the SAME helper
+    the CLI and dryrun call): wide kernels must actually shard over 'mp',
+    their adam moments must shard with them, the sharded step must match
+    the single-device step, and the step's OUTPUT state must keep the mp
+    sharding (no silent re-replication)."""
     from jax.sharding import PartitionSpec as P
 
-    from agrl_tpu.parallel import put_sharded_tree
+    from agrl_tpu.parallel import place_state
 
     model = tiny_vmgn(num_gb=1)
     tx = init_optim("adam", 1e-3)
@@ -136,23 +136,7 @@ def test_full_state_mesh_placement_matches_and_sticks():
     ref_state, m_single = step(state0, x, pids, adj, key)
 
     mesh = make_mesh(dp=4, mp=2)
-    min_size = 1024  # tiny model: lower the wide-kernel threshold
-    state = state0.replace(
-        params=put_sharded_tree(
-            state0.params, param_shardings(mesh, state0.params, min_size=min_size)
-        ),
-        batch_stats=put_sharded_tree(
-            state0.batch_stats,
-            param_shardings(mesh, state0.batch_stats, min_size=min_size),
-        ),
-        opt_state=put_sharded_tree(
-            state0.opt_state,
-            param_shardings(mesh, state0.opt_state, min_size=min_size),
-        ),
-        step=put_sharded_tree(
-            state0.step, param_shardings(mesh, state0.step, min_size=min_size)
-        ),
-    )
+    state = place_state(state0, mesh, min_size=1024)  # tiny-model threshold
 
     def mp_sharded_leaves(tree):
         return [
