@@ -136,7 +136,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame-cache-dir", type=str, default="",
                    help="persistent on-disk decoded-frame cache directory: "
                         "JPEG decode cost is paid once per machine — later "
-                        "runs stream resized uint8 frames from disk")
+                        "runs stream resized uint8 frames from disk (stores "
+                        "DECODED bytes: use a fresh dir per --decode mode)")
+    p.add_argument("--decode", type=str, default="auto",
+                   choices=["auto", "native", "pil"],
+                   help="frame decoder: auto = native libjpeg batch decoder "
+                        "when built (fast), pil = the reference's exact "
+                        "PIL reader+bilinear resize — pick pil when "
+                        "evaluating MIGRATED reference .pth.tar weights on "
+                        "datasets whose frames get resized (iLIDS/PRID/"
+                        "Duke); MARS sources are already 256x128 so the "
+                        "two decoders are bit-identical there")
     p.add_argument("--async-ckpt", action="store_true",
                    help="write checkpoints on a background thread (the "
                         "device->host state fetch overlaps the next epoch; "
@@ -197,6 +207,12 @@ def run(args):
     sys.stdout = Logger(osp.join(args.save_dir, f"log_{mode}{stamp}{proc_tag}.txt"))
     writer = ScalarWriter(args.save_dir) if is_main else None
     print(f"==========\nArgs:{args}\n==========")
+    if is_main:
+        # provenance: machine-readable arg dump next to the copied model
+        # source (the reference only prints args into the log, :179)
+        from agrl_tpu.utils.iotools import write_json
+
+        write_json(vars(args), osp.join(args.save_dir, "args.json"))
     print(f"JAX devices: {jax.devices()}")
 
     print(f"Initializing dataset {args.dataset}")
@@ -244,6 +260,7 @@ def run(args):
         cache_frames=args.cache_frames,
         cache=shared_cache,
         disk_cache=disk_cache,
+        decode=args.decode,
     )
     train_ds = VideoClipDataset(dataset.train, seq_len=args.seq_len, sample=args.train_sample, **ds_kwargs)
     query_ds = VideoClipDataset(dataset.query, seq_len=args.seq_len, sample=args.test_sample, **ds_kwargs)
@@ -468,7 +485,9 @@ def run(args):
                 distmat, dataset.query, dataset.gallery,
                 save_dir=osp.join(args.save_dir, "ranked_results"), topk=20,
             )
-        return
+        # (rank1, mAP) — or the distmat under --visualize-ranks — so
+        # programmatic callers (tests, tools) get the scores directly
+        return distmat
 
     aug = dict(
         flip_aug=args.flip_aug,

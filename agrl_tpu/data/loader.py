@@ -73,6 +73,7 @@ class VideoClipDataset:
         cache_bytes: int | None = None,
         disk_cache: FrameDiskCache | str | None = None,
         decode_threads: int | None = None,
+        decode: str = "auto",
     ):
         self.tracklets = tracklets
         self.seq_len = seq_len
@@ -106,6 +107,9 @@ class VideoClipDataset:
         # native-decoder OpenMP width: None = resolved by the ClipLoader
         # (hardware default when it runs single-worker, 1 under its pool)
         self.decode_threads = decode_threads
+        # decoder choice (auto/native/pil) — see transforms.host_decode_resize;
+        # "pil" reproduces the reference's pixels exactly for migrated weights
+        self.decode = decode
         self.graph_builder = GraphBuilder(
             num_split=num_split,
             num_parts=num_parts,
@@ -164,6 +168,7 @@ class VideoClipDataset:
             chosen, self.height, self.width, cache=frame_cache,
             disk_cache=self.disk_cache,
             threads=1 if self.decode_threads is None else self.decode_threads,
+            decode=self.decode,
         )
 
         if self.sample in ("dense", "skipdense"):

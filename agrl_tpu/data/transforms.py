@@ -39,7 +39,7 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 def host_decode_resize(
     paths, height: int, width: int, cache=None, disk_cache=None,
-    threads: int = 1,
+    threads: int = 1, decode: str = "auto",
 ) -> tuple[np.ndarray, list]:
     """Read + resize frames on host. Returns (S, H, W, 3) uint8 and the
     ORIGINAL (w, h) sizes (the graph builder needs them).
@@ -61,12 +61,24 @@ def host_decode_resize(
     `threads`: OpenMP width for the native decoder (0 = hardware default;
     keep 1 when the caller already runs a decode thread pool).
 
+    `decode`: which decoder produces the pixels —
+      * "auto"   — native libjpeg when built, PIL otherwise (fast default);
+      * "pil"    — force the PIL path: bit-identical to the reference's
+        reader+GroupResize (dataset_loader.py:23-36, driver :216), the
+        right choice when evaluating a MIGRATED reference checkpoint whose
+        weights saw PIL-resized pixels (native DCT-scaled downscale drifts
+        a few gray levels from PIL bilinear);
+      * "native" — require the native decoder (raises if not built).
+    NOTE: `cache`/`disk_cache` store DECODED frames keyed by path+size
+    only; switching decode modes against a warm cache returns the old
+    mode's pixels — use a fresh --frame-cache-dir per mode.
+
     The clip array is preallocated and every source (RAM cache, disk
     store, decoder) fills its rows in place — disk-store hits land via
     preadv with NO intermediate per-frame arrays (the assembly copy
     dominated the disk-backed cold pipeline otherwise)."""
     if cache is None and disk_cache is None:
-        return _decode_batch(paths, height, width, threads)
+        return _decode_batch(paths, height, width, threads, decode)
 
     n = len(paths)
     out = np.empty((n, height, width, 3), np.uint8)
@@ -95,7 +107,7 @@ def host_decode_resize(
     if missing:
         # decode each distinct path once (dense padding repeats frames)
         uniq = list(dict.fromkeys(paths[i] for i in missing))
-        imgs_m, sizes_m = _decode_batch(uniq, height, width, threads)
+        imgs_m, sizes_m = _decode_batch(uniq, height, width, threads, decode)
         by_path = {p: j for j, p in enumerate(uniq)}
         for i in missing:
             j = by_path[paths[i]]
@@ -113,13 +125,21 @@ def host_decode_resize(
 
 
 def _decode_batch(
-    paths, height: int, width: int, threads: int = 1
+    paths, height: int, width: int, threads: int = 1, decode: str = "auto"
 ) -> tuple[np.ndarray, list]:
     from agrl_tpu.data import jpeg_native
 
-    if jpeg_native.available() and all(
-        p.lower().endswith((".jpg", ".jpeg")) for p in paths
-    ):
+    if decode == "native" and not jpeg_native.available():
+        raise RuntimeError(
+            "decode='native' but the native decoder is not built "
+            "(make -C native builds libjpeg_decode.so)"
+        )
+    use_native = (
+        decode != "pil"
+        and jpeg_native.available()
+        and all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+    )
+    if use_native:
         imgs, sizes, ok = jpeg_native.decode_resize_batch(
             paths, height, width, threads=threads
         )

@@ -84,6 +84,46 @@ def test_host_decode_resize_native_matches_pil_path(jpegs, monkeypatch):
     assert list(native_sizes) == list(pil_sizes)
 
 
+def test_decode_mode_pil_bypasses_native(jpegs):
+    """decode='pil' must produce the reference's exact pixels (PIL
+    bilinear) even with the native decoder built — the migrated-checkpoint
+    eval path (--decode pil)."""
+    paths, _ = jpegs
+    pil_imgs, _ = host_decode_resize(paths, 256, 128, decode="pil")
+    for i, p in enumerate(paths):
+        want = np.asarray(
+            Image.open(p).convert("RGB").resize((128, 256), Image.BILINEAR)
+        )
+        np.testing.assert_array_equal(pil_imgs[i], want)
+    # the downscale source (300x500) must actually differ from native —
+    # otherwise this test wouldn't be proving a real switch
+    nat_imgs, _ = host_decode_resize(paths, 256, 128, decode="native")
+    assert np.abs(nat_imgs[3].astype(int) - pil_imgs[3].astype(int)).max() > 0
+
+
+def test_decode_mode_native_errors_when_unbuilt(jpegs, monkeypatch):
+    paths, _ = jpegs
+    monkeypatch.setattr(jpeg_native, "_lib", None)
+    with pytest.raises(RuntimeError, match="native"):
+        host_decode_resize(paths[:1], 64, 32, decode="native")
+
+
+def test_dataset_decode_mode_threads_through(jpegs):
+    """VideoClipDataset(decode='pil') flows to the decoder."""
+    from agrl_tpu.data.loader import VideoClipDataset
+
+    paths, _ = jpegs
+    ds_pil = VideoClipDataset(
+        [(tuple(paths), 0, 0)], seq_len=4, sample="evenly",
+        height=256, width=128, enable_pose=False, decode="pil",
+    )
+    imgs, _, _, _ = ds_pil.get_item(0)
+    want = np.asarray(
+        Image.open(paths[3]).convert("RGB").resize((128, 256), Image.BILINEAR)
+    )
+    np.testing.assert_array_equal(imgs[3], want)
+
+
 def test_truncated_jpeg_is_rejected(jpegs, tmp_path):
     """libjpeg 'recovers' from premature EOF by gray-filling scanlines; the
     decoder must flag that as failure so the PIL fallback handles it."""
