@@ -4,9 +4,11 @@
 everything printed to stdout is also appended to a log file, each line
 prefixed with wall-clock time, flushed + fsynced so logs survive crashes.
 
-`ScalarWriter` replaces tensorboardX's SummaryWriter: scalars are appended
-to a JSONL file (`scalars.jsonl`) which any plotting tool can consume; if
-tensorboardX happens to be importable it also writes real TB events.
+`ScalarWriter` replaces tensorboardX's SummaryWriter (the reference's
+scalar sink, train_vidreid_xent_htri.py:178,446-447): scalars are appended
+to a JSONL file (`scalars.jsonl`) which any plotting tool can consume, AND
+to a real TensorBoard event file via the dependency-free writer in
+utils.tbevents — a migrating user's TB dashboards keep working.
 """
 
 from __future__ import annotations
@@ -60,27 +62,21 @@ class Logger:
 
 
 class ScalarWriter:
-    """TB-compatible scalar sink: JSONL always, tensorboardX if available."""
+    """TB-compatible scalar sink: JSONL + native TB event file, always."""
 
     def __init__(self, log_dir: str):
+        from agrl_tpu.utils.tbevents import EventFileWriter
+
         mkdir_if_missing(log_dir)
         self._jsonl = open(osp.join(log_dir, "scalars.jsonl"), "a")
-        self._tb = None
-        try:  # optional, not a dependency
-            from tensorboardX import SummaryWriter  # type: ignore
-
-            self._tb = SummaryWriter(log_dir=log_dir)
-        except Exception:  # tensorboardX is optional; broken installs too
-            pass
+        self._tb = EventFileWriter(log_dir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         rec = {"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
-        if self._tb is not None:
-            self._tb.add_scalar(tag, value, step)
+        self._tb.add_scalar(tag, value, step)
 
     def close(self) -> None:
         self._jsonl.close()
-        if self._tb is not None:
-            self._tb.close()
+        self._tb.close()
