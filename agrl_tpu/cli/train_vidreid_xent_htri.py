@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--seq-len", type=int, default=15)
     p.add_argument("--split-id", type=int, default=0)
+    p.add_argument("--download", action="store_true",
+                   help="auto-download the dataset when missing (iLIDS-VID "
+                        "only, reference ilidsvid.py:119-133); requires "
+                        "network egress")
     p.add_argument("--train-batch", default=32, type=int)
     p.add_argument("--test-batch", default=5, type=int)
     p.add_argument("--clip-batch", default=64, type=int,
@@ -217,7 +221,8 @@ def run(args):
 
     print(f"Initializing dataset {args.dataset}")
     dataset = data_manager.init_vidreid_dataset(
-        root=args.root, name=args.dataset, split_id=args.split_id, use_pose=args.use_pose
+        root=args.root, name=args.dataset, split_id=args.split_id,
+        use_pose=args.use_pose, download=args.download,
     )
 
     # one shared byte-budgeted LRU across train/query/gallery; one shared

@@ -5,9 +5,10 @@ Behavioral parity with reference data_manager/ilidsvid.py:22-215:
   * 10-fold splits converted once from train_test_splits_ilidsvid.mat to
     splits.json — indices are 1-based into the SORTED cam1 person dirs;
     first half of each row is the TEST set (Wang et al. ECCV'14);
-  * query = test ids' cam1 tracklets, gallery = cam2.
-  (Dataset auto-download is intentionally not performed: this environment
-  has no egress; the original tar must be present on disk.)
+  * query = test ids' cam1 tracklets, gallery = cam2;
+  * optional auto-download of the original tar (reference
+    ilidsvid.py:119-133) behind `download=True` — OFF by default (this
+    build environment has no egress; real deployments can opt in).
 """
 
 from __future__ import annotations
@@ -22,7 +23,10 @@ from agrl_tpu.utils.iotools import read_json, write_json
 class iLIDSVID(VidReidDataset):
     name = "ilidsvid"
 
-    def __init__(self, root="data", split_id=0, verbose=True, use_pose=True, **kwargs):
+    dataset_url = "http://www.eecs.qmul.ac.uk/~xiatian/iLIDS-VID/iLIDS-VID.tar"
+
+    def __init__(self, root="data", split_id=0, verbose=True, use_pose=True,
+                 download=False, **kwargs):
         super().__init__()
         self.dataset_dir = osp.join(root, "ilids-vid")
         self.data_dir = osp.join(self.dataset_dir, "i-LIDS-VID")
@@ -32,6 +36,8 @@ class iLIDSVID(VidReidDataset):
         self.cam_1_path = osp.join(self.data_dir, "sequences/cam1")
         self.cam_2_path = osp.join(self.data_dir, "sequences/cam2")
 
+        if download:
+            self._download_data()
         self._require(self.dataset_dir, self.data_dir, self.split_dir)
         self._load_poses(osp.join(self.dataset_dir, "pose.json"), use_pose)
         self._prepare_split()
@@ -58,6 +64,26 @@ class iLIDSVID(VidReidDataset):
         )
         if verbose:
             self.print_stats("iLIDS-VID", n_train + n_query + n_gallery)
+
+    def _download_data(self) -> None:
+        """Fetch + extract the original tar (reference ilidsvid.py:119-133).
+        Skips when the dataset directory already exists."""
+        if osp.exists(self.dataset_dir):
+            print("This dataset has been downloaded.")
+            return
+        import tarfile
+        import urllib.request
+
+        from agrl_tpu.utils.iotools import mkdir_if_missing
+
+        mkdir_if_missing(self.dataset_dir)
+        fpath = osp.join(self.dataset_dir, osp.basename(self.dataset_url))
+        print("Downloading iLIDS-VID dataset")
+        urllib.request.urlretrieve(self.dataset_url, fpath)
+        print("Extracting files")
+        with tarfile.open(fpath) as tar:
+            # 'data' filter: refuse absolute paths / .. traversal / devices
+            tar.extractall(path=self.dataset_dir, filter="data")
 
     def _prepare_split(self):
         if osp.exists(self.split_path):

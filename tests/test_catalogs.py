@@ -149,6 +149,76 @@ def test_ilidsvid_catalog(tmp_path):
     assert [t[1] for t in ds2.query] == [t[1] for t in ds.query]
 
 
+def _build_ilids_tree(root, n_ids=300):
+    # 300 ids: the split converter asserts the real dataset's shape
+    """Tiny iLIDS-VID directory tree + split .mat under `root`."""
+    d = osp.join(root, "ilids-vid")
+    seq = osp.join(d, "i-LIDS-VID", "sequences")
+    for cam in ("cam1", "cam2"):
+        for i in range(1, n_ids + 1):
+            touch(osp.join(seq, cam, f"person{i:03d}", "frame0001.png"))
+    rng = np.random.RandomState(0)
+    ls = np.stack([rng.permutation(n_ids) + 1 for _ in range(10)])
+    os.makedirs(osp.join(d, "train-test people splits"), exist_ok=True)
+    savemat(
+        osp.join(d, "train-test people splits", "train_test_splits_ilidsvid.mat"),
+        {"ls_set": ls},
+    )
+    return d
+
+
+def test_ilidsvid_download_path(tmp_path, monkeypatch):
+    """download=True fetches + extracts the tar when the dataset dir is
+    missing (reference ilidsvid.py:119-133). Network is mocked: the
+    'downloaded' tar is a locally built fixture."""
+    import tarfile
+
+    import agrl_tpu.data.datasets.ilidsvid as mod
+
+    # build the fixture tree elsewhere, tar it up as the fake remote file
+    src_root = str(tmp_path / "remote")
+    d = _build_ilids_tree(src_root)
+    tar_path = str(tmp_path / "iLIDS-VID.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(osp.join(d, "i-LIDS-VID"), arcname="i-LIDS-VID")
+        tar.add(
+            osp.join(d, "train-test people splits"),
+            arcname="train-test people splits",
+        )
+
+    calls = []
+
+    def fake_urlretrieve(url, fpath):
+        calls.append(url)
+        import shutil
+
+        shutil.copy(tar_path, fpath)
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+    dest_root = str(tmp_path / "local")
+    ds = init_vidreid_dataset(
+        "ilidsvid", root=dest_root, split_id=0, verbose=False,
+        use_pose=False, download=True,
+    )
+    assert calls == [mod.iLIDSVID.dataset_url]
+    assert ds.num_train_pids == 150 and ds.num_query_pids == 150
+    # second init: dataset present -> no second fetch
+    init_vidreid_dataset(
+        "ilidsvid", root=dest_root, split_id=0, verbose=False,
+        use_pose=False, download=True,
+    )
+    assert len(calls) == 1
+
+
+def test_ilidsvid_download_off_by_default(tmp_path):
+    with pytest.raises(RuntimeError, match="not available"):
+        init_vidreid_dataset(
+            "ilidsvid", root=str(tmp_path / "nope"), verbose=False, use_pose=False
+        )
+
+
 # ---------------------------------------------------------------------------
 # PRID2011
 # ---------------------------------------------------------------------------
