@@ -337,6 +337,14 @@ class Evaluator:
         pids, camids = [], []
         acc = {}  # tracklet idx -> [sum_or_max (D,), clip_count]
         in_flight = []  # one-deep pipeline: (device features, take, segs)
+        # ping-pong assembly buffers: np.stack would malloc ~CB*S*H*W*3
+        # bytes per chunk (a measured 47 ms of page-fault + memcpy at the
+        # MARS shape — comparable to a 4-chip compute step); two buffers
+        # alternate because ONE chunk is in flight: chunk k's transfer is
+        # provably complete (its features were fetched) before its buffer
+        # is refilled for chunk k+2
+        buf_imgs = buf_adjs = None  # allocated lazily at first chunk shapes
+        chunk_idx = 0
 
         def accumulate(fd, take, segs):
             t0 = time.time()
@@ -354,20 +362,27 @@ class Evaluator:
                     entry[1] += 1
 
         def flush(final: bool = False):
+            nonlocal buf_imgs, buf_adjs, chunk_idx
             while pend_imgs and (final or len(pend_imgs) >= CB):
                 take = min(CB, len(pend_imgs))
-                imgs = np.stack(pend_imgs[:take])
-                adjs = np.stack(pend_adjs[:take])
+                if buf_imgs is None:
+                    c0, a0 = pend_imgs[0], pend_adjs[0]
+                    buf_imgs = np.empty((2, CB, *c0.shape), c0.dtype)
+                    buf_adjs = np.empty((2, CB, *a0.shape), a0.dtype)
+                # chunk k fills slot k%2: chunk k-1 (other slot) may be in
+                # flight; chunk k-2 (this slot) was fetched when k-1 was
+                # dispatched, so its transfer is complete
+                slot = chunk_idx & 1
+                chunk_idx += 1
+                imgs, adjs = buf_imgs[slot], buf_adjs[slot]
+                for i in range(take):
+                    imgs[i] = pend_imgs[i]
+                    adjs[i] = pend_adjs[i]
                 segs = pend_seg[:take]
                 del pend_imgs[:take], pend_adjs[:take], pend_seg[:take]
-                pad = CB - take
-                if pad:  # tail batch: reuse the same compiled shape
-                    imgs = np.concatenate(
-                        [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
-                    )
-                    adjs = np.concatenate(
-                        [adjs, np.ones((pad, *adjs.shape[1:]), adjs.dtype)]
-                    )
+                if take < CB:  # tail batch: reuse the same compiled shape
+                    imgs[take:] = 0
+                    adjs[take:] = 1.0
                 # dispatch this batch, THEN drain the previous one — the
                 # host-side fetch + pooling overlaps device compute
                 in_flight.append((run_fwd(imgs, adjs), take, segs))
