@@ -1,0 +1,206 @@
+"""Quantified 4-chip (v5e-4) eval projection — measured inputs, no hopes.
+
+BASELINE.md's target is >=5x the reference 4x-TITAN-X rig for full test
+feature extraction + ranking on a v5e-4. Single-chip e2e is measured by
+bench.py (BENCH_r03: 1274 clips/s = 1.79x). This tool quantifies every
+term between 1 chip and 4 (VERDICT r03 weak #5):
+
+  * dp-padding waste for each eval mode on a MARS-shaped tracklet-length
+    distribution, computed with the SAME batching arithmetic the
+    Evaluator executes (engine/evaluator.py: _make_fwd_runner's
+    (-n) % dp pad, _extract_dense_packed's fixed clip_batch chunks,
+    _extract_all_bucketed's ab_for() dp rounding + _bucket_len buckets);
+  * host-side per-chunk assembly cost (np.stack of a clip batch),
+    measured here;
+  * replicated-weights broadcast bytes (VMGN paper config), counted from
+    the real parameter tree;
+  * required H2D bandwidth at the projected rate vs PCIe;
+  * the host input-pipeline bound per core (bench.py's measured rates).
+
+Prints one JSON object; PROFILE.md's "4-chip eval projection" section is
+written from this output. Run: python tools/project_multichip_eval.py
+(CPU is fine — nothing here needs the chip; the chip rates are taken
+from the bench snapshot, overridable via --chip-clips-per-sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+# measured single-chip rates (bench.py on TPU v5e-1, BENCH_r03/r04)
+CHIP_CLIPS_PER_SEC = 1274.0  # warm e2e, evenly, bf16, batch 64
+HOST_WARM = 3731.6  # RAM item-cache, 1 core
+HOST_DISK = 1689.7  # persistent frame store, 1 core
+HOST_DECODE = 528.4  # native libjpeg decode, per core
+BASELINE = 711.0  # the whole 4x TITAN X rig (BASELINE.md)
+MB_PER_CLIP = 8 * 256 * 128 * 3 / 1e6  # uint8 frames H2D per clip
+
+
+def mars_like_lengths(n: int, rng: np.random.RandomState) -> np.ndarray:
+    """Tracklet frame counts shaped like MARS: the reference's own stats
+    print reports min 2, max 920, average 59.5 images per tracklet
+    (data_manager/mars.py:92-110 on the real dataset). A clipped lognormal
+    fit to (median ~32, mean ~60) reproduces that heavy tail."""
+    x = rng.lognormal(mean=np.log(32.0), sigma=1.05, size=n)
+    return np.clip(np.round(x), 2, 920).astype(int)
+
+
+def waste_evenly(n_tracklets: int, test_batch: int, dp: int) -> float:
+    """evenly: 1 clip per tracklet; loader batches of test_batch; the mesh
+    runner pads each batch by (-n) % dp (evaluator.py:124-132)."""
+    real = n_tracklets
+    padded = 0
+    full, tail = divmod(n_tracklets, test_batch)
+    for b in [test_batch] * full + ([tail] if tail else []):
+        padded += (-b) % dp
+    return padded / real
+
+
+def waste_dense(lengths, seq_len: int, clip_batch: int, dp: int):
+    """dense: clips pack ACROSS tracklets into fixed clip_batch chunks
+    (evaluator.py:356-375); only the final chunk pads — to clip_batch,
+    which is already a dp multiple. Returns (frame_pad_frac, chunk_pad_frac):
+    frame padding (len -> ceil(len/S)*S) is the reference's own dense
+    semantics (dataset_loader.py:142-144), not a TPU cost."""
+    assert clip_batch % dp == 0
+    clips = np.ceil(lengths / seq_len).astype(int)
+    C = int(clips.sum())
+    frame_pad = float((clips * seq_len - lengths).sum() / lengths.sum())
+    chunk_pad = ((-C) % clip_batch) / C
+    return frame_pad, chunk_pad
+
+
+def waste_bucketed_all(lengths, clip_batch: int, dp: int) -> dict:
+    """`--test-sample all`: each tracklet pads to the next power-of-two
+    length (>= 8) and same-bucket tracklets batch to
+    ab = roundup(frame_budget // Sp, dp) rows (evaluator.py:235-237);
+    the tail flush pads to ab. Cost model = frames pushed through the
+    masked forward (batch rows x Sp). Returns the fraction of pushed
+    frames that are padding, split into bucket padding (num -> Sp,
+    dp-independent) and batch padding (tail rows, grows with dp)."""
+    from agrl_tpu.engine.evaluator import Evaluator
+
+    frame_budget = clip_batch * 8
+    buckets: dict[int, int] = {}
+    real_frames = int(lengths.sum())
+    bucket_frames = 0  # frames after num -> Sp padding
+    for num in lengths:
+        Sp = Evaluator._bucket_len(int(num))
+        buckets[Sp] = buckets.get(Sp, 0) + 1
+        bucket_frames += Sp
+    pushed = 0  # frames the device actually computes on
+    for Sp, cnt in buckets.items():
+        ab = max(1, frame_budget // Sp)
+        ab = -(-ab // dp) * dp
+        n_batches = -(-cnt // ab)
+        pushed += n_batches * ab * Sp
+    return {
+        "bucket_pad_frac": (bucket_frames - real_frames) / pushed,
+        "batch_pad_frac": (pushed - bucket_frames) / pushed,
+        "total_pad_frac": (pushed - real_frames) / pushed,
+        "pushed_frames": pushed,
+        "real_frames": real_frames,
+    }
+
+
+def host_assembly_ms(clip_batch=64, S=8, H=256, W=128, reps=5) -> float:
+    """Per-chunk host overhead the Evaluator pays before every put:
+    np.stack of clip_batch clip views into one contiguous batch."""
+    rng = np.random.RandomState(0)
+    clips = [rng.randint(0, 255, (S, H, W, 3), dtype=np.uint8) for _ in range(clip_batch)]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.stack(clips)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def vmgn_weight_bytes() -> int:
+    """Replicated-variables broadcast size for the paper VMGN (f32 — the
+    eval forward casts to bf16 on device, evaluator.py make_eval_forward)."""
+    import jax
+
+    from agrl_tpu.models import init_params
+    from agrl_tpu.models.vmgn import VMGN
+
+    model = VMGN(num_classes=625, num_split=4, pyramid_part=True, num_gb=2)
+    variables = init_params(
+        model, jax.random.PRNGKey(0), seq_len=8, height=256, width=128, batch_size=1
+    )
+    return sum(
+        int(np.prod(np.shape(t))) * np.dtype(t.dtype).itemsize
+        for t in jax.tree.leaves(variables)
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chip-clips-per-sec", type=float, default=CHIP_CLIPS_PER_SEC)
+    ap.add_argument("--n-chips", type=int, default=4)
+    ap.add_argument("--clip-batch", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=8)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    Q, G = 1980, 9330
+    lengths = mars_like_lengths(Q + G, rng)
+    dp = args.n_chips
+
+    evenly_w = {
+        d: waste_evenly(Q + G, test_batch=args.clip_batch, dp=d) for d in (1, dp)
+    }
+    dense_frame_pad, dense_chunk_pad = waste_dense(
+        lengths, args.seq_len, args.clip_batch, dp
+    )
+    all_w = {d: waste_bucketed_all(lengths, args.clip_batch, d) for d in (1, dp)}
+
+    # projection: evenly (the headline protocol) on n chips
+    waste = evenly_w[dp]
+    chip_rate_n = args.n_chips * args.chip_clips_per_sec * (1 - waste)
+    e2e_warm = min(HOST_WARM, chip_rate_n)  # 1-core host, RAM cache
+    e2e_disk3 = min(3 * HOST_DISK, chip_rate_n)  # 3 cores on frame store
+    cores_to_feed_decode = chip_rate_n / HOST_DECODE
+
+    out = {
+        "mars_like_lengths": {
+            "n": Q + G, "min": int(lengths.min()), "max": int(lengths.max()),
+            "mean": round(float(lengths.mean()), 1),
+        },
+        "evenly_dp_pad_frac": {str(d): round(v, 5) for d, v in evenly_w.items()},
+        "dense_frame_pad_frac_reference_semantics": round(dense_frame_pad, 4),
+        "dense_chunk_pad_frac": round(dense_chunk_pad, 5),
+        "bucketed_all": {
+            str(d): {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in w.items()}
+            for d, w in all_w.items()
+        },
+        "host_assembly_ms_per_chunk64": round(host_assembly_ms(args.clip_batch,
+                                                               args.seq_len), 2),
+        "replicated_weights_mb_f32": round(vmgn_weight_bytes() / 1e6, 1),
+        "h2d_gb_per_sec_at_projected_rate": round(
+            chip_rate_n * MB_PER_CLIP / 1e3, 2
+        ),
+        "projection": {
+            "chip_rate_x4_minus_padding_clips_per_sec": round(chip_rate_n, 0),
+            "e2e_warm_1core_clips_per_sec": round(e2e_warm, 0),
+            "e2e_warm_vs_baseline": round(e2e_warm / BASELINE, 2),
+            "e2e_diskstore_3core_clips_per_sec": round(e2e_disk3, 0),
+            "e2e_diskstore_3core_vs_baseline": round(e2e_disk3 / BASELINE, 2),
+            "compute_bound_vs_baseline": round(chip_rate_n / BASELINE, 2),
+            "decode_cores_to_feed_4_chips": round(cores_to_feed_decode, 1),
+        },
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
