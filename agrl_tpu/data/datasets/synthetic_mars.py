@@ -161,7 +161,7 @@ def materialize_mars_layout(
     cam_nuis = {c: _cam_nuisance(c, rng) for c in range(1, num_cams + 1)}
     poses = {}
 
-    def write_split(home_dir, pid_values, junk=False):
+    def write_split(home_dir, pid_values):
         names, tracks = [], []
         tid = 0
         for pid in pid_values:
@@ -199,7 +199,7 @@ def materialize_mars_layout(
         "bbox_train", range(1, num_train_pids + 1)
     )
     test_pids = list(range(501, 501 + num_test_pids)) + ([-1] if include_junk else [])
-    test_names, track_test = write_split("bbox_test", test_pids, junk=True)
+    test_names, track_test = write_split("bbox_test", test_pids)
 
     with open(osp.join(info, "train_name.txt"), "w") as f:
         f.write("\n".join(train_names) + "\n")
