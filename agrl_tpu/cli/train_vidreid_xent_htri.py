@@ -242,8 +242,14 @@ def run(args):
             f"({args.height}x{args.width}); LRU budget = {cap_txt} (--cache-gb)"
         )
         shared_cache = BoundedCache(cap_bytes)
+    from agrl_tpu.data.transforms import effective_decoder
+
     disk_cache = (
-        FrameDiskCache(args.frame_cache_dir, args.height, args.width)
+        # tagged by the decoder that produces this run's pixels: a store
+        # written by --decode native can never silently serve DCT-scaled
+        # pixels to a --decode pil (reference-parity) run, and vice versa
+        FrameDiskCache(args.frame_cache_dir, args.height, args.width,
+                       decoder=effective_decoder(args.decode))
         if args.frame_cache_dir
         else None
     )

@@ -114,6 +114,14 @@ class FrameDiskCache:
     hot path); a same-size re-encode can slip through the sample, which
     is the documented trade-off of a path-keyed cache.
 
+    Decoder provenance: native-libjpeg and PIL pixels drift on downscale
+    paths, so a store remembers which decoder produced it (`decoder` tag,
+    persisted in `frames_{H}x{W}.dec`). Opening with a different tag
+    wipes the store (writer) or ignores it (reader) — a warm
+    `--frame-cache-dir` can never serve the other decoder's pixels to a
+    run that asked for exact-PIL parity. An empty tag skips the check
+    (direct library use that manages its own store discipline).
+
     Reads are positional (`pread`/`preadv` on a shared fd — no file
     position state, safe under the loader's thread pool); appends hold a
     lock. Crash recovery: the store is authoritative up to the shorter of
@@ -130,13 +138,16 @@ class FrameDiskCache:
 
     VERSION = "3"
 
-    def __init__(self, cache_dir: str, height: int, width: int):
+    def __init__(self, cache_dir: str, height: int, width: int,
+                 decoder: str = ""):
         self.height = height
         self.width = width
         self.rec_bytes = height * width * 3
         os.makedirs(cache_dir, exist_ok=True)
         self.bin_path = osp.join(cache_dir, f"frames_{height}x{width}.bin")
         self.idx_path = osp.join(cache_dir, f"frames_{height}x{width}.idx")
+        self.dec_path = osp.join(cache_dir, f"frames_{height}x{width}.dec")
+        self.decoder = decoder
         ver_path = osp.join(cache_dir, "VERSION")
         self._lock = threading.Lock()
 
@@ -166,13 +177,43 @@ class FrameDiskCache:
             with open(ver_path, "w") as f:
                 f.write(self.VERSION)
 
+        # decoder-provenance tag: never serve the other decoder's pixels
+        dec_mismatch = False
+        if decoder:
+            try:
+                with open(self.dec_path) as f:
+                    have = f.read().strip()
+            except OSError:
+                have = None
+            if have != decoder:
+                has_records = (
+                    osp.exists(self.bin_path)
+                    and os.path.getsize(self.bin_path) >= self.rec_bytes
+                )
+                if has_records:
+                    print(
+                        f"Frame store {self.bin_path}: pixels decoded by "
+                        f"'{have or 'an unknown decoder'}', this run uses "
+                        f"'{decoder}' — "
+                        + ("discarding the store" if not self.read_only
+                           else "ignoring it (read-only)")
+                    )
+                if not self.read_only:
+                    for p in (self.bin_path, self.idx_path):
+                        if osp.exists(p):
+                            os.remove(p)
+                    with open(self.dec_path, "w") as f:
+                        f.write(decoder)
+                else:
+                    dec_mismatch = True
+
         open(self.bin_path, "ab").close()
         open(self.idx_path, "ab").close()
         self._index: dict[str, int] = {}
         self._sizes: list[tuple[int, int]] = []
         self._src_bytes: list[int] = []
-        if ver != self.VERSION and self.read_only:
-            # a reader cannot wipe a stale-layout store; treat it as empty
+        if (ver != self.VERSION or dec_mismatch) and self.read_only:
+            # a reader cannot wipe a mismatched store; treat it as empty
             lines = []
         else:
             with open(self.idx_path, "r") as f:

@@ -67,23 +67,36 @@ class iLIDSVID(VidReidDataset):
 
     def _download_data(self) -> None:
         """Fetch + extract the original tar (reference ilidsvid.py:119-133).
-        Skips when the dataset directory already exists."""
-        if osp.exists(self.dataset_dir):
+
+        The presence check is CONTENT-based (the sequences + splits dirs
+        the catalog actually reads) — the reference checks the bare
+        dataset dir, which an interrupted download leaves behind,
+        wedging every later attempt. The tar downloads to a `.part`
+        name and is removed after extraction (or on failure), so a
+        retry always re-fetches cleanly."""
+        if osp.exists(self.data_dir) and osp.exists(self.split_dir):
             print("This dataset has been downloaded.")
             return
+        import os
         import tarfile
         import urllib.request
 
         from agrl_tpu.utils.iotools import mkdir_if_missing
 
         mkdir_if_missing(self.dataset_dir)
-        fpath = osp.join(self.dataset_dir, osp.basename(self.dataset_url))
+        fpath = osp.join(
+            self.dataset_dir, osp.basename(self.dataset_url) + ".part"
+        )
         print("Downloading iLIDS-VID dataset")
-        urllib.request.urlretrieve(self.dataset_url, fpath)
-        print("Extracting files")
-        with tarfile.open(fpath) as tar:
-            # 'data' filter: refuse absolute paths / .. traversal / devices
-            tar.extractall(path=self.dataset_dir, filter="data")
+        try:
+            urllib.request.urlretrieve(self.dataset_url, fpath)
+            print("Extracting files")
+            with tarfile.open(fpath) as tar:
+                # 'data' filter: refuse absolute paths / .. traversal / devices
+                tar.extractall(path=self.dataset_dir, filter="data")
+        finally:
+            if osp.exists(fpath):
+                os.remove(fpath)
 
     def _prepare_split(self):
         if osp.exists(self.split_path):

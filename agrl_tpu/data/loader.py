@@ -26,7 +26,7 @@ from agrl_tpu.data.cache import BoundedCache, FrameDiskCache
 from agrl_tpu.data.graph import GraphBuilder
 from agrl_tpu.data.pose import pose_key_for_path
 from agrl_tpu.data.sampling import sample_clip_indices
-from agrl_tpu.data.transforms import host_decode_resize
+from agrl_tpu.data.transforms import effective_decoder, host_decode_resize
 
 
 class ImageDataset:
@@ -102,7 +102,10 @@ class VideoClipDataset:
         # persistent decoded-frame store (see data.cache.FrameDiskCache):
         # survives processes; decode is paid once per machine per dataset
         if isinstance(disk_cache, str):
-            disk_cache = FrameDiskCache(disk_cache, height, width)
+            disk_cache = FrameDiskCache(
+                disk_cache, height, width,
+                decoder=effective_decoder(decode),
+            )
         self.disk_cache = disk_cache
         # native-decoder OpenMP width: None = resolved by the ClipLoader
         # (hardware default when it runs single-worker, 1 under its pool)

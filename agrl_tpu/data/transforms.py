@@ -68,10 +68,12 @@ def host_decode_resize(
         right choice when evaluating a MIGRATED reference checkpoint whose
         weights saw PIL-resized pixels (native DCT-scaled downscale drifts
         a few gray levels from PIL bilinear);
-      * "native" — require the native decoder (raises if not built).
-    NOTE: `cache`/`disk_cache` store DECODED frames keyed by path+size
-    only; switching decode modes against a warm cache returns the old
-    mode's pixels — use a fresh --frame-cache-dir per mode.
+      * "native" — require the native decoder (raises if not built, or
+        if a frame is not a JPEG — the native decoder is libjpeg-only).
+    Caches store DECODED frames, so their pixels carry the decoder's
+    fingerprint: `FrameDiskCache` records its decoder tag and refuses to
+    serve across modes (see `effective_decoder`); the RAM `cache` is
+    per-run (decode mode is fixed per run) and needs no tag.
 
     The clip array is preallocated and every source (RAM cache, disk
     store, decoder) fills its rows in place — disk-store hits land via
@@ -124,16 +126,39 @@ def host_decode_resize(
     return out, sizes
 
 
+def effective_decoder(decode: str) -> str:
+    """Which decoder a run's JPEG pixels actually come from: 'native'
+    unless the user forced PIL or the native library is not built.
+    (Non-JPEG frames always decode via PIL in every mode — identical
+    pixels across modes, so they never affect cache provenance.) This is
+    the tag `FrameDiskCache` uses to keep stores single-decoder."""
+    from agrl_tpu.data import jpeg_native
+
+    return "pil" if decode == "pil" or not jpeg_native.available() else "native"
+
+
 def _decode_batch(
     paths, height: int, width: int, threads: int = 1, decode: str = "auto"
 ) -> tuple[np.ndarray, list]:
     from agrl_tpu.data import jpeg_native
 
-    if decode == "native" and not jpeg_native.available():
-        raise RuntimeError(
-            "decode='native' but the native decoder is not built "
-            "(make -C native builds libjpeg_decode.so)"
+    if decode == "native":
+        if not jpeg_native.available():
+            raise RuntimeError(
+                "decode='native' but the native decoder is not built "
+                "(make -C native builds libjpeg_decode.so)"
+            )
+        bad = next(
+            (p for p in paths if not p.lower().endswith((".jpg", ".jpeg"))), None
         )
+        if bad is not None:
+            # an explicit 'native' must not silently benchmark/verify the
+            # PIL path — the native decoder is libjpeg-only
+            raise ValueError(
+                f"decode='native' but '{bad}' is not a JPEG; the native "
+                "decoder only handles .jpg/.jpeg — use --decode auto or pil "
+                "for this dataset"
+            )
     use_native = (
         decode != "pil"
         and jpeg_native.available()

@@ -338,8 +338,8 @@ class Evaluator:
         acc = {}  # tracklet idx -> [sum_or_max (D,), clip_count]
         in_flight = []  # one-deep pipeline: (device features, take, segs)
         # ping-pong assembly buffers: np.stack would malloc ~CB*S*H*W*3
-        # bytes per chunk (a measured 47 ms of page-fault + memcpy at the
-        # MARS shape — comparable to a 4-chip compute step); two buffers
+        # bytes per chunk (a measured 46 ms of page-fault + memcpy at the
+        # MARS shape vs 30 ms for this in-place fill); two buffers
         # alternate because ONE chunk is in flight: chunk k's transfer is
         # provably complete (its features were fetched) before its buffer
         # is refilled for chunk k+2

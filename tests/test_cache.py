@@ -123,6 +123,51 @@ class TestFrameDiskCache:
         np.testing.assert_array_equal(store3.get(str(src))[0], _frame(2))
         store3.close()
 
+    def test_decoder_tag_guards_cross_mode_reuse(self, tmp_path, capsys):
+        """A store remembers which decoder produced its pixels. Opening
+        with the other tag must never serve them: a writer wipes, a
+        read-only opener ignores. Same tag reopens normally; an empty
+        tag skips the check (library use)."""
+        d = str(tmp_path / "store")
+        store = FrameDiskCache(d, 8, 6, decoder="native")
+        store.put("/a/b.jpg", _frame(0), (64, 128))
+        store.close()
+
+        same = FrameDiskCache(d, 8, 6, decoder="native")
+        assert len(same) == 1
+        # read-only opener with the OTHER tag, while `same` holds the lock
+        ro = FrameDiskCache(d, 8, 6, decoder="pil")
+        assert ro.read_only and len(ro) == 0
+        assert ro.get("/a/b.jpg") is None
+        assert "ignoring it (read-only)" in capsys.readouterr().out
+        ro.close()
+        same.close()
+        # ...and the store survived the read-only mismatch untouched
+        check = FrameDiskCache(d, 8, 6, decoder="native")
+        assert len(check) == 1
+        check.close()
+
+        other = FrameDiskCache(d, 8, 6, decoder="pil")  # writer: wipes
+        assert len(other) == 0
+        assert "decoded by 'native'" in capsys.readouterr().out
+        other.put("/a/b.jpg", _frame(1), (64, 128))
+        other.close()
+        reopened = FrameDiskCache(d, 8, 6, decoder="pil")
+        np.testing.assert_array_equal(reopened.get("/a/b.jpg")[0], _frame(1))
+        reopened.close()
+
+    def test_untagged_legacy_store_wiped_by_tagged_writer(self, tmp_path):
+        """A store written before decoder tagging existed (no .dec file)
+        could hold either decoder's pixels — a tagged open re-pays decode
+        instead of trusting it."""
+        d = str(tmp_path / "store")
+        legacy = FrameDiskCache(d, 8, 6)  # untagged: no provenance check
+        legacy.put("/a/b.jpg", _frame(0), (64, 128))
+        legacy.close()
+        tagged = FrameDiskCache(d, 8, 6, decoder="pil")
+        assert len(tagged) == 0
+        tagged.close()
+
     def test_partial_trailing_record_dropped(self, tmp_path):
         d = str(tmp_path / "store")
         store = FrameDiskCache(d, 8, 6)
@@ -259,6 +304,32 @@ class TestDatasetWiring:
         items2 = [ds2.get_item(i) for i in range(len(tracklets))]
         for (a, *_), (b, *_) in zip(items, items2):
             np.testing.assert_array_equal(a, b)
+        ds2.disk_cache.close()
+
+    def test_dataset_disk_cache_tagged_by_effective_decoder(self, tmp_path):
+        """A store built via the dataset's string-path constructor carries
+        the run's effective decoder tag, so a later run in the other mode
+        re-pays decode instead of reusing cross-mode pixels."""
+        from agrl_tpu.data.loader import VideoClipDataset
+        from agrl_tpu.data.transforms import effective_decoder
+
+        tracklets = self._make_tracklets(tmp_path)
+        store_dir = str(tmp_path / "store")
+        args = dict(seq_len=4, sample="evenly", height=32, width=16,
+                    enable_pose=False, disk_cache=store_dir)
+        ds = VideoClipDataset(tracklets, decode="pil", **args)
+        assert ds.disk_cache.decoder == "pil"
+        ds.get_item(0)
+        n_put = len(ds.disk_cache)
+        assert n_put > 0
+        ds.disk_cache.close()
+
+        ds2 = VideoClipDataset(tracklets, decode="auto", **args)
+        assert ds2.disk_cache.decoder == effective_decoder("auto")
+        if effective_decoder("auto") == "native":
+            assert len(ds2.disk_cache) == 0  # pil-tagged store was wiped
+        else:  # native lib not built: auto == pil, store reused
+            assert len(ds2.disk_cache) == n_put
         ds2.disk_cache.close()
 
     def test_loader_resolves_decode_threads(self, tmp_path):

@@ -212,6 +212,56 @@ def test_ilidsvid_download_path(tmp_path, monkeypatch):
     assert len(calls) == 1
 
 
+def test_ilidsvid_download_recovers_from_failed_fetch(tmp_path, monkeypatch):
+    """An interrupted download must not wedge: the presence check is
+    content-based (not the bare dataset dir the first attempt created),
+    no partial tar survives, and the next download=True retries the
+    fetch and succeeds."""
+    import tarfile
+
+    src_root = str(tmp_path / "remote")
+    d = _build_ilids_tree(src_root)
+    tar_path = str(tmp_path / "iLIDS-VID.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(osp.join(d, "i-LIDS-VID"), arcname="i-LIDS-VID")
+        tar.add(
+            osp.join(d, "train-test people splits"),
+            arcname="train-test people splits",
+        )
+
+    import urllib.request
+
+    attempts = []
+
+    def flaky_urlretrieve(url, fpath):
+        attempts.append(url)
+        if len(attempts) == 1:
+            with open(fpath, "wb") as f:
+                f.write(b"partial bytes")  # connection died mid-transfer
+            raise OSError("connection reset")
+        import shutil
+
+        shutil.copy(tar_path, fpath)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", flaky_urlretrieve)
+    dest_root = str(tmp_path / "local")
+    with pytest.raises(OSError, match="connection reset"):
+        init_vidreid_dataset(
+            "ilidsvid", root=dest_root, verbose=False,
+            use_pose=False, download=True,
+        )
+    dataset_dir = osp.join(dest_root, "ilids-vid")
+    # no partial tar left behind to be mistaken for a download
+    assert not [f for f in os.listdir(dataset_dir) if f.endswith((".tar", ".part"))]
+    # retry fetches again (no "already downloaded" wedge) and succeeds
+    ds = init_vidreid_dataset(
+        "ilidsvid", root=dest_root, verbose=False,
+        use_pose=False, download=True,
+    )
+    assert len(attempts) == 2
+    assert ds.num_train_pids == 150
+
+
 def test_ilidsvid_download_off_by_default(tmp_path):
     with pytest.raises(RuntimeError, match="not available"):
         init_vidreid_dataset(

@@ -108,6 +108,29 @@ def test_decode_mode_native_errors_when_unbuilt(jpegs, monkeypatch):
         host_decode_resize(paths[:1], 64, 32, decode="native")
 
 
+def test_decode_mode_native_rejects_non_jpeg(tmp_path, jpegs):
+    """An explicit decode='native' on a PNG dataset (iLIDS-VID/PRID2011
+    frames) must raise, not silently decode via PIL — the user asked to
+    measure/require the native path."""
+    png = str(tmp_path / "frame.png")
+    Image.fromarray(np.zeros((16, 8, 3), np.uint8)).save(png)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        host_decode_resize([png], 16, 8, decode="native")
+    # auto still quietly uses PIL for non-JPEGs (correct pixels, no error)
+    imgs, sizes = host_decode_resize([png], 16, 8, decode="auto")
+    assert imgs.shape == (1, 16, 8, 3) and sizes[0] == (8, 16)
+
+
+def test_effective_decoder_resolution(monkeypatch):
+    from agrl_tpu.data.transforms import effective_decoder
+
+    assert effective_decoder("pil") == "pil"
+    assert effective_decoder("auto") == "native"
+    assert effective_decoder("native") == "native"
+    monkeypatch.setattr(jpeg_native, "_lib", None)
+    assert effective_decoder("auto") == "pil"
+
+
 def test_dataset_decode_mode_threads_through(jpegs):
     """VideoClipDataset(decode='pil') flows to the decoder."""
     from agrl_tpu.data.loader import VideoClipDataset

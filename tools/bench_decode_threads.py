@@ -75,14 +75,20 @@ def main():
             best = max(best, len(paths) / dt)
         rates[t] = best
 
-    base = rates[args.threads[0]]
+    # parallel efficiency relative to the FIRST swept thread count:
+    # eff(t) = rate(t) / (rate(t0) * t/t0) — 1.0 means perfect scaling
+    # from t0 to t (with t0=1 this is the classic rate/(rate1*t))
+    t0 = args.threads[0]
+    base = rates[t0]
     print(json.dumps({
         "n_imgs": args.n_imgs, "hw": f"{H}x{W}",
         "cores_visible": os.cpu_count(),
         "affinity_cores": len(os.sched_getaffinity(0)),
         "imgs_per_sec": {str(t): round(r, 0) for t, r in rates.items()},
-        "efficiency_vs_t1": {
-            str(t): round(r / (base * max(t, 1)), 3) for t, r in rates.items()
+        f"efficiency_vs_t{t0}": {
+            # max(t, 1): t=0 means "hardware default" — no meaningful ratio
+            str(t): round(r / (base * (max(t, 1) / max(t0, 1))), 3)
+            for t, r in rates.items()
         },
     }))
 

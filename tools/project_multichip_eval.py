@@ -10,8 +10,9 @@ term between 1 chip and 4 (VERDICT r03 weak #5):
     Evaluator executes (engine/evaluator.py: _make_fwd_runner's
     (-n) % dp pad, _extract_dense_packed's fixed clip_batch chunks,
     _extract_all_bucketed's ab_for() dp rounding + _bucket_len buckets);
-  * host-side per-chunk assembly cost (np.stack of a clip batch),
-    measured here;
+  * host-side per-chunk assembly cost of the SHIPPED dense/packed path
+    (in-place fill of the preallocated ping-pong buffers; the replaced
+    np.stack is measured alongside for context), measured here;
   * replicated-weights broadcast bytes (VMGN paper config), counted from
     the real parameter tree;
   * required H2D bandwidth at the projected rate vs PCIe;
@@ -41,7 +42,6 @@ HOST_WARM = 3731.6  # RAM item-cache, 1 core
 HOST_DISK = 1689.7  # persistent frame store, 1 core
 HOST_DECODE = 528.4  # native libjpeg decode, per core
 BASELINE = 711.0  # the whole 4x TITAN X rig (BASELINE.md)
-MB_PER_CLIP = 8 * 256 * 128 * 3 / 1e6  # uint8 frames H2D per clip
 
 
 def mars_like_lengths(n: int, rng: np.random.RandomState) -> np.ndarray:
@@ -111,17 +111,26 @@ def waste_bucketed_all(lengths, clip_batch: int, dp: int) -> dict:
     }
 
 
-def host_assembly_ms(clip_batch=64, S=8, H=256, W=128, reps=5) -> float:
-    """Per-chunk host overhead the Evaluator pays before every put:
-    np.stack of clip_batch clip views into one contiguous batch."""
+def host_assembly_ms(clip_batch=64, S=8, H=256, W=128, reps=5):
+    """Per-chunk host assembly the dense/packed Evaluator pays before
+    every put. Measures the SHIPPED path — in-place row copies into a
+    preallocated ping-pong buffer (evaluator._extract_dense_packed) —
+    and, for context, the np.stack it replaced (whose ~47 ms of malloc +
+    page faults motivated the buffer reuse). Returns (fill_ms, stack_ms)."""
     rng = np.random.RandomState(0)
     clips = [rng.randint(0, 255, (S, H, W, 3), dtype=np.uint8) for _ in range(clip_batch)]
-    best = float("inf")
-    for _ in range(reps):
+    buf = np.empty((2, clip_batch, S, H, W, 3), np.uint8)
+    fill = stack = float("inf")
+    for r in range(max(reps, 2)):  # >=2: touch both ping-pong slots
+        t0 = time.perf_counter()
+        b = buf[r & 1]
+        for i in range(clip_batch):
+            b[i] = clips[i]
+        fill = min(fill, time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.stack(clips)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+        stack = min(stack, time.perf_counter() - t0)
+    return fill * 1e3, stack * 1e3
 
 
 def vmgn_weight_bytes() -> int:
@@ -148,7 +157,10 @@ def main():
     ap.add_argument("--n-chips", type=int, default=4)
     ap.add_argument("--clip-batch", type=int, default=64)
     ap.add_argument("--seq-len", type=int, default=8)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=128)
     args = ap.parse_args()
+    mb_per_clip = args.seq_len * args.height * args.width * 3 / 1e6  # uint8 H2D
 
     rng = np.random.RandomState(0)
     Q, G = 1980, 9330
@@ -183,11 +195,14 @@ def main():
                      for k, v in w.items()}
             for d, w in all_w.items()
         },
-        "host_assembly_ms_per_chunk64": round(host_assembly_ms(args.clip_batch,
-                                                               args.seq_len), 2),
+        "host_assembly_ms_per_chunk": dict(zip(
+            ("inplace_fill_shipped", "np_stack_replaced"),
+            (round(v, 2) for v in host_assembly_ms(
+                args.clip_batch, args.seq_len, args.height, args.width)),
+        )),
         "replicated_weights_mb_f32": round(vmgn_weight_bytes() / 1e6, 1),
         "h2d_gb_per_sec_at_projected_rate": round(
-            chip_rate_n * MB_PER_CLIP / 1e3, 2
+            chip_rate_n * mb_per_clip / 1e3, 2
         ),
         "projection": {
             "chip_rate_x4_minus_padding_clips_per_sec": round(chip_rate_n, 0),
