@@ -188,6 +188,91 @@ def merge_converted(variables, converted):
     return shape_filtered_merge(variables, converted, cast_dtype=np.float32)
 
 
+def _graphnet_last_classifier(state_dict: dict) -> int:
+    """Index of the FUSED (last) classifier in a msppn/msppgn state dict.
+    Strips any DataParallel 'module.' prefix before reading indices, like
+    the per-entry conversion loop does."""
+    return max(
+        (
+            int(n.split(".")[1])
+            for n in (re.sub(r"^module\.", "", s) for s in state_dict)
+            if n.startswith(("classifier.", "classifiers."))
+        ),
+        default=-1,
+    )
+
+
+def _graphnet_name_map(name: str, arch: str, n_cls: int):
+    """torch msppn/msppgn entry name -> (flax path, collection, transform),
+    or None for entries with no Flax counterpart. `n_cls` = index of the
+    fused classifier (see _graphnet_last_classifier)."""
+
+    def bn(prefix, leaf):
+        hit = _BN_LEAF.get(leaf)
+        return (prefix + (hit[0],), hit[1]) if hit else None
+
+    parts = name.split(".")
+    # ---- backbone ----
+    if arch == "msppn":
+        if parts[0] == "conv1" and parts[1] == "weight":
+            return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
+        if parts[0] == "bn1":
+            hit = bn(("trunk", "stem", "bn1"), parts[1])
+            return (*hit, None) if hit else None
+        stage = re.match(r"^layer(\d)$", parts[0])
+        if stage:
+            return _map_res_block(("trunk", parts[0]), parts[1:])
+    else:
+        if parts[0] == "base":
+            idx = parts[1]
+            if idx == "0" and parts[2] == "weight":
+                return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
+            if idx == "1":
+                hit = bn(("trunk", "stem", "bn1"), parts[2])
+                return (*hit, None) if hit else None
+            if idx in ("4", "5", "6", "7"):
+                return _map_res_block(
+                    ("trunk", f"layer{int(idx) - 3}"), parts[2:]
+                )
+            return None
+    # ---- reduce heads ----
+    m = re.match(r"^reduce_?f?(\d)$", parts[0])
+    if m and (arch == "msppn") == parts[0].startswith("reduce_f"):
+        k = m.group(1)
+        if parts[1] == "weight":
+            return (f"reduce_f{k}", "reduce", "kernel"), "params", "linear"
+        return (f"reduce_f{k}", "reduce", "bias"), "params", None
+    m = re.match(r"^bn_?f?(\d)$", parts[0])
+    if m and (arch == "msppn") == parts[0].startswith("bn_f"):
+        hit = bn((f"reduce_f{m.group(1)}", "bn"), parts[1])
+        return (*hit, None) if hit else None
+    # ---- graph blocks (msppgn) ----
+    if parts[0] == "gbs":
+        i, sub = parts[1], parts[2]
+        prefix = (f"gb_{i}",)
+        if sub == "linear" and parts[3] == "weight":
+            return prefix + ("linear", "kernel"), "params", "linear"
+        if sub in ("emb_q", "emb_k"):
+            if parts[3] == "weight":
+                return prefix + (sub, "kernel"), "params", "linear"
+            return prefix + (sub, "bias"), "params", None
+        if sub == "bn":
+            hit = bn(prefix + ("bn",), parts[3])
+            return (*hit, None) if hit else None
+        return None
+    # ---- heads ----
+    if parts[0] == "fusion_conv" and parts[1] == "weight":
+        # torch Conv1d (1, V, 1) -> our (V, 1) fusion matrix
+        return ("fusion_conv",), "params", "fusion"
+    if parts[0] in ("classifier", "classifiers"):
+        i = int(parts[1])
+        fname = "classifier_fused" if i == n_cls else f"classifier_{i}"
+        if parts[2] == "weight":
+            return (fname, "kernel"), "params", "linear"
+        return (fname, "bias"), "params", None
+    return None
+
+
 def convert_graphnet_state_dict(state_dict: dict, arch: str):
     """torch msppn/msppgn state dict -> Flax variable tree.
 
@@ -206,82 +291,10 @@ def convert_graphnet_state_dict(state_dict: dict, arch: str):
     assert arch in ("msppn", "msppgn")
     params, batch_stats, skipped = {}, {}, []
 
-    def bn(prefix, leaf):
-        hit = _BN_LEAF.get(leaf)
-        return (prefix + (hit[0],), hit[1]) if hit else None
-
-    # strip any DataParallel 'module.' prefix BEFORE detecting the fused
-    # (last) classifier index, like the per-entry loop below does
-    n_cls = max(
-        (
-            int(n.split(".")[1])
-            for n in (re.sub(r"^module\.", "", s) for s in state_dict)
-            if n.startswith(("classifier.", "classifiers."))
-        ),
-        default=-1,
-    )
+    n_cls = _graphnet_last_classifier(state_dict)
 
     def map_name(name):
-        parts = name.split(".")
-        # ---- backbone ----
-        if arch == "msppn":
-            if parts[0] == "conv1" and parts[1] == "weight":
-                return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
-            if parts[0] == "bn1":
-                hit = bn(("trunk", "stem", "bn1"), parts[1])
-                return (*hit, None) if hit else None
-            stage = re.match(r"^layer(\d)$", parts[0])
-            if stage:
-                return _map_res_block(("trunk", parts[0]), parts[1:])
-        else:
-            if parts[0] == "base":
-                idx = parts[1]
-                if idx == "0" and parts[2] == "weight":
-                    return ("trunk", "stem", "conv1", "kernel"), "params", "conv"
-                if idx == "1":
-                    hit = bn(("trunk", "stem", "bn1"), parts[2])
-                    return (*hit, None) if hit else None
-                if idx in ("4", "5", "6", "7"):
-                    return _map_res_block(
-                        ("trunk", f"layer{int(idx) - 3}"), parts[2:]
-                    )
-                return None
-        # ---- reduce heads ----
-        m = re.match(r"^reduce_?f?(\d)$", parts[0])
-        if m and (arch == "msppn") == parts[0].startswith("reduce_f"):
-            k = m.group(1)
-            if parts[1] == "weight":
-                return (f"reduce_f{k}", "reduce", "kernel"), "params", "linear"
-            return (f"reduce_f{k}", "reduce", "bias"), "params", None
-        m = re.match(r"^bn_?f?(\d)$", parts[0])
-        if m and (arch == "msppn") == parts[0].startswith("bn_f"):
-            hit = bn((f"reduce_f{m.group(1)}", "bn"), parts[1])
-            return (*hit, None) if hit else None
-        # ---- graph blocks (msppgn) ----
-        if parts[0] == "gbs":
-            i, sub = parts[1], parts[2]
-            prefix = (f"gb_{i}",)
-            if sub == "linear" and parts[3] == "weight":
-                return prefix + ("linear", "kernel"), "params", "linear"
-            if sub in ("emb_q", "emb_k"):
-                if parts[3] == "weight":
-                    return prefix + (sub, "kernel"), "params", "linear"
-                return prefix + (sub, "bias"), "params", None
-            if sub == "bn":
-                hit = bn(prefix + ("bn",), parts[3])
-                return (*hit, None) if hit else None
-            return None
-        # ---- heads ----
-        if parts[0] == "fusion_conv" and parts[1] == "weight":
-            # torch Conv1d (1, V, 1) -> our (V, 1) fusion matrix
-            return ("fusion_conv",), "params", "fusion"
-        if parts[0] in ("classifier", "classifiers"):
-            i = int(parts[1])
-            fname = "classifier_fused" if i == n_cls else f"classifier_{i}"
-            if parts[2] == "weight":
-                return (fname, "kernel"), "params", "linear"
-            return (fname, "bias"), "params", None
-        return None
+        return _graphnet_name_map(name, arch, n_cls)
 
     for name, value in state_dict.items():
         name = re.sub(r"^module\.", "", name)
@@ -720,6 +733,87 @@ def convert_reference_checkpoint(variables, source, arch: str):
         converted, unmapped = convert_torch_state_dict(source)
     new_vars, matched, skipped = merge_converted(variables, converted)
     return new_vars, matched, skipped, unmapped
+
+
+def _inverse_transform(arr: np.ndarray, kind):
+    """Invert _transform (+ the graphnet 'fusion' reshape): flax layout ->
+    torch layout."""
+    if kind == "conv":
+        return arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if kind == "linear":
+        return arr.T  # (in, out) -> (out, in)
+    if kind == "fusion":
+        return arr.T.reshape(1, arr.shape[0], 1)  # (V, 1) -> Conv1d (1, V, 1)
+    return arr
+
+
+def export_torch_state_dict(variables, template: dict, arch: str):
+    """REVERSE migration: fill a reference-named torch state dict with this
+    framework's weights (train on TPU -> hand a .pth.tar back to a torch
+    rig, or re-verify a TPU-trained model under the reference's own test()).
+
+    `template` is any torch state dict of the same arch — typically the
+    checkpoint you migrated FROM, or a fresh torch-side init. It is the
+    name authority: the export reuses the FORWARD converters' name maps
+    (so both directions share one source of truth) and inverse-transforms
+    each flax leaf into torch layout (HWIO->OIHW convs, transposed linear
+    kernels, the graphnet fusion Conv1d reshape). Template entries with no
+    flax counterpart keep their template values — num_batches_tracked and
+    the reference's frozen-at-zero BNNeck biases — as do shape mismatches
+    (a different #classes head), mirroring the forward shape-filtered
+    partial load.
+
+    Supported archs: the full registry (GSTA family + msppn/msppgn). The
+    legacy unregistered families (temporal/image/3D) convert forward only.
+
+    Returns (state_dict {name: np.ndarray float32}, filled, kept):
+    `filled` = names overwritten from flax; `kept` = template names left
+    as-is (with the reason encoded by membership: no counterpart or shape
+    mismatch)."""
+    if arch in _GRAPHNET_ARCHS:
+        n_cls = _graphnet_last_classifier(template)
+
+        def name_map(n):
+            return _graphnet_name_map(n, arch, n_cls)
+
+    elif arch in _TEMPORAL_ARCHS or arch == "resnet50m" or arch in _RESNET3D_ARCHS:
+        raise NotImplementedError(
+            f"reverse export for legacy arch '{arch}' is not implemented "
+            "(forward .pth -> flax conversion only)"
+        )
+    else:  # GSTA family (the registry default)
+        name_map = _split_torch_name
+
+    flat = {}
+    for collection in ("params", "batch_stats"):
+        for path, leaf in traverse_util.flatten_dict(
+            variables.get(collection, {})
+        ).items():
+            flat[(collection,) + tuple(path)] = leaf
+
+    out, filled, kept = {}, [], []
+    for name, tvalue in template.items():
+        base = re.sub(r"^module\.", "", name)
+        tarr = _to_numpy(tvalue)
+        mapped = None if base.endswith("num_batches_tracked") else name_map(base)
+        if mapped is None:
+            out[name] = tarr
+            kept.append(name)
+            continue
+        path, collection, kind = mapped
+        leaf = flat.get((collection,) + tuple(path))
+        if leaf is None:
+            out[name] = tarr
+            kept.append(name)
+            continue
+        arr = _inverse_transform(np.asarray(leaf, np.float32), kind)
+        if tuple(arr.shape) != tuple(tarr.shape):
+            out[name] = tarr  # e.g. a different-#classes head
+            kept.append(name)
+            continue
+        out[name] = arr
+        filled.append(name)
+    return out, filled, kept
 
 
 # file extensions that mean "a torch-world state dict" (the reference's

@@ -172,6 +172,55 @@ def test_msppgn_full_model_parity_vs_reference():
     _parity(tmodel, fmodel, skipped_expected=(), seed=12, v=3 * 7 * 4)
 
 
+@pytest.mark.parametrize("arch", ["msppn", "msppgn"])
+def test_graphnet_reverse_export_round_trip(arch):
+    """torch -> flax -> torch is bit-equal for the graphnet family too:
+    the reverse exporter shares the forward name map, incl. the msppn
+    fusion Conv1d (1, V, 1) reshape and the fused-classifier index."""
+    import importlib
+
+    import jax
+
+    from agrl_tpu.models import init_model, init_params
+    from agrl_tpu.models.weight_convert import (
+        convert_graphnet_state_dict,
+        export_torch_state_dict,
+        merge_converted,
+    )
+
+    ref = importlib.import_module("torchreid.models.graphnet")
+    kwargs = dict(num_classes=8, loss={"xent", "htri"}, num_split=4)
+    if arch == "msppn":
+        tmodel = ref.MSPyraPartNet(**kwargs)
+        fmodel = init_model("msppn", **kwargs)
+    else:
+        kwargs.update(use_pose=True, learn_graph=True, num_gb=2)
+        tmodel = ref.MSPyraPartGraphNet(**kwargs)
+        fmodel = init_model("msppgn", **kwargs)
+    _randomize_bn_stats(tmodel, seed=31)
+    sd = tmodel.state_dict()
+
+    converted, skipped = convert_graphnet_state_dict(sd, arch)
+    assert not skipped, skipped[:5]
+    variables = init_params(
+        fmodel, jax.random.PRNGKey(0), seq_len=4, height=128, width=64,
+        num_vertices=3 * 7 * 4, batch_size=1,
+    )
+    merged, _, skips = merge_converted(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        converted,
+    )
+    assert not skips, skips[:5]
+
+    state, filled, kept = export_torch_state_dict(merged, sd, arch)
+    assert set(state) == set(sd)
+    assert all(n.endswith("num_batches_tracked") for n in kept), kept[:5]
+    for name, want in sd.items():
+        np.testing.assert_array_equal(
+            state[name], want.numpy().astype(np.float32), err_msg=name
+        )
+
+
 # ---------------------------------------------------------------------------
 # legacy temporal family (ResNet50TP/TA/RNN) vs the reference
 # ---------------------------------------------------------------------------
