@@ -265,6 +265,22 @@ def run(args):
             f"Frame cache: ~{full_gb:.1f} GB to hold every decoded frame "
             f"({args.height}x{args.width}); LRU budget = {cap_txt} (--cache-gb)"
         )
+        # deterministic eval loaders cache whole collated batches; repeat
+        # evals are host-free only if that working set fits the budget
+        # (an undersized LRU gets ~0 hits on the cyclic eval scan)
+        eval_gb = (
+            (len(dataset.query) + len(dataset.gallery))
+            * args.seq_len * args.height * args.width * 3 / 1e9
+        )
+        hint = (
+            " — raise --cache-gb to keep repeat evals host-free"
+            if cap_bytes and eval_gb * 1e9 > cap_bytes and args.test_sample == "evenly"
+            else ""
+        )
+        print(
+            f"Eval batch cache: ~{eval_gb:.1f} GB holds every collated "
+            f"eval batch (evenly){hint}"
+        )
         shared_cache = BoundedCache(cap_bytes)
     from agrl_tpu.data.transforms import effective_decoder
 

@@ -157,6 +157,18 @@ class VideoClipDataset:
             return item
         return self._build_item(index, rng)
 
+    def peek_or_build(self, index: int, rng=None):
+        """get_item without the item-cache WRITE: reuses an existing item
+        entry (e.g. written by a shuffled loader over this dataset) but
+        never stores one — the caller (ClipLoader's batch cache) holds the
+        same bytes in collated form, and a second copy would double the
+        budget for no reuse."""
+        if self.cache is not None and self._cache_items:
+            hit = self.cache.get((self._item_tag, index))
+            if hit is not None:
+                return hit
+        return self._build_item(index, rng)
+
     def _build_item(self, index: int, rng: np.random.RandomState | None = None):
         img_paths, pid, camid = self.tracklets[index]
         num = min(len(img_paths), self.max_len)
@@ -324,10 +336,10 @@ class ClipLoader:
                     if hit is not None:
                         yield hit
                         continue
-                    # build items WITHOUT the per-item cache write: the
-                    # collated batch below holds the same bytes, and a
-                    # second copy would double the budget for no reuse
-                    build = self.dataset._build_item
+                    # build items WITHOUT the per-item cache write (the
+                    # collated batch below holds the same bytes), but DO
+                    # read any existing item entries
+                    build = self.dataset.peek_or_build
                 else:
                     build = self.dataset.get_item
                 if pool is None:

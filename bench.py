@@ -59,8 +59,11 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
     batches (data/loader.py), so epoch 2+ over an unchanged query/gallery
     costs one LRU lookup per batch — the measured rate is effectively
     iteration overhead, orders of magnitude above any device rate, i.e.
-    repeat evals are host-free. Epoch 1 of a process pays the decode or
-    disk-store rate (the other two numbers). "Disk-cache cold
+    repeat evals are host-free WHEN the collated set fits --cache-gb
+    (true here; MARS evenly needs ~9 GB — an undersized LRU gets ~0 hits
+    on a cyclic scan and repeat evals pay the fill rate). Epoch 1 of a
+    process pays the decode or disk-store rate (the other two numbers).
+    "Disk-cache cold
     start" = a fresh process on a machine whose persistent frame store
     (data.cache.FrameDiskCache, CLI --frame-cache-dir) was populated by any
     earlier run: decode is replaced by sequential uint8 reads. The

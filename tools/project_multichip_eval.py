@@ -41,8 +41,13 @@ CHIP_CLIPS_PER_SEC = 1274.0  # warm e2e, evenly, bf16, batch 64
 # Deterministic eval loaders cache whole collated batches (data/loader.py),
 # so the warm steady state is one LRU lookup per batch — measured 7.1e6
 # clips/s on this rig's single core, i.e. repeat evals are host-free and
-# never bind. Epoch 1 of a process pays HOST_DISK or HOST_DECODE.
-HOST_WARM = 7.1e6  # batch-cache steady state, 1 core
+# never bind. CONDITION: the collated eval set must fit --cache-gb
+# (MARS evenly at 256x128x8 = 11,310 clips x 0.79 MB ~ 8.9 GB — above
+# the 8 GB default, so a MARS run should set --cache-gb ~10; the CLI
+# startup line prints the exact math). An LRU smaller than a cyclic
+# sequential scan yields ~0 hits, falling back to the HOST_DISK fill
+# rate. Epoch 1 of a process always pays HOST_DISK or HOST_DECODE.
+HOST_WARM = 7.1e6  # batch-cache steady state, 1 core, eval set in budget
 HOST_DISK = 1689.7  # persistent frame store, 1 core
 HOST_DECODE = 528.4  # native libjpeg decode, per core
 BASELINE = 711.0  # the whole 4x TITAN X rig (BASELINE.md)

@@ -21,7 +21,8 @@ dp=4 from measured terms:
 
 Prints one JSON object; PROFILE.md's "4-chip train projection" section
 is written from this output. Run: python tools/project_multichip_train.py
-(CPU fine; chip rates are bench-recorded constants, overridable).
+(CPU fine; chip rates are bench-recorded constants — edit
+CHIP_CLIPS_PER_SEC after re-measuring to refresh).
 """
 
 from __future__ import annotations
@@ -113,18 +114,34 @@ def measure_train_host_rate(
     return best
 
 
+def chip_rate(per_chip_batch: int) -> float:
+    """Per-chip clips/s at a given per-chip batch: measured points for
+    {4, 8, 16}, linear interpolation between them, flat extrapolation
+    above 16 (batch scaling is flat there — PROFILE.md: 291/286/286
+    clips/s at 16/32/64). Below the smallest measured batch the step is
+    latency-bound, so rate scales down linearly with batch (step time
+    held at the batch-4 measurement — conservative)."""
+    xs = np.array(sorted(CHIP_CLIPS_PER_SEC), dtype=float)
+    ys = np.array([CHIP_CLIPS_PER_SEC[int(x)] for x in xs])
+    if per_chip_batch < xs[0]:
+        return float(ys[0] * per_chip_batch / xs[0])
+    return float(np.interp(per_chip_batch, xs, ys))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-chips", type=int, default=4)
-    ap.add_argument("--global-batch", type=int, default=16)
+    ap.add_argument("--global-batch", type=int, default=16,
+                    help="adds a projection entry for this global batch "
+                         "(16 and 64 are always reported)")
     args = ap.parse_args()
     n = args.n_chips
 
     host_rate = measure_train_host_rate()
 
     def project(global_batch):
-        per_chip = global_batch // n
-        chip = CHIP_CLIPS_PER_SEC[per_chip]
+        per_chip = max(1, global_batch // n)
+        chip = chip_rate(per_chip)
         step_s = per_chip / chip
         # unoverlapped upper bound: ring all-reduce moves ~2(n-1)/n x
         # grad bytes per chip; XLA schedules it inside the backward
@@ -133,7 +150,7 @@ def main():
         rate_ar_bound = global_batch / (step_s + ar_s)
         return {
             "per_chip_batch": per_chip,
-            "chip_clips_per_sec": chip,
+            "chip_clips_per_sec": round(chip, 1),
             "compute_clips_per_sec": round(rate, 0),
             "vs_baseline": round(rate / BASELINE, 1),
             "allreduce_unoverlapped_ms": round(ar_s * 1e3, 2),
@@ -142,6 +159,7 @@ def main():
         }
 
     out = {
+        "n_chips": n,
         "chip_rates_measured": CHIP_CLIPS_PER_SEC,
         "train_host_clips_per_sec_per_core_steady": round(host_rate, 0),
         "dp_batch_pad": 0.0,  # 16 % 4 == 0: P x K batches divide exactly
@@ -152,6 +170,10 @@ def main():
             "global_64": round(project(64)["compute_clips_per_sec"] / host_rate, 2),
         },
     }
+    if args.global_batch not in (16, 64):
+        out[f"requested_global_batch_{args.global_batch}"] = project(
+            args.global_batch
+        )
     print(json.dumps(out, indent=1))
 
 
