@@ -2,9 +2,10 @@
 
 The reference runs whole tracklets at native length
 (dataset_loader.py:115-119); under XLA that is one compilation per
-distinct length. The bucketed path pads to power-of-two frame counts with
-a frame mask the model honors exactly — these tests pin (a) feature
-equivalence vs the unbucketed forward and (b) the O(log) compile count.
+distinct length. The bucketed path pads to a geometric ~1.25x ladder of
+multiple-of-8 frame counts with a frame mask the model honors exactly —
+these tests pin (a) feature equivalence vs the unbucketed forward and
+(b) the O(log) compile count.
 """
 
 import jax
@@ -41,11 +42,23 @@ def _tracklet_batches(model, lengths, H=32, W=16, seed=0):
 
 
 def test_bucket_len():
+    # geometric ~1.25x ladder on multiples of 8: 8,16,24,32,40,56,72,96,
+    # 120,152,192,240,304,384,480,600,752,944,1184,...
     assert Evaluator._bucket_len(1) == 8
     assert Evaluator._bucket_len(8) == 8
     assert Evaluator._bucket_len(9) == 16
-    assert Evaluator._bucket_len(33) == 64
-    assert Evaluator._bucket_len(1000) == 1024
+    assert Evaluator._bucket_len(17) == 24
+    assert Evaluator._bucket_len(33) == 40
+    assert Evaluator._bucket_len(54) == 56
+    assert Evaluator._bucket_len(100) == 120
+    assert Evaluator._bucket_len(1000) == 1184
+    # monotone, >= num, multiple of 8, ladder is stable on its own points
+    prev = 0
+    for n in range(1, 1201):
+        b = Evaluator._bucket_len(n)
+        assert b >= n and b % 8 == 0 and b >= prev
+        assert Evaluator._bucket_len(b) == b
+        prev = b
 
 
 def test_masked_forward_equals_unpadded(tiny):
@@ -121,7 +134,7 @@ def test_bucketed_compile_count(tiny):
     # same-bucket tracklets batch together: one call per bucket here
     assert len(shapes) == 3
     distinct = {s[1] for s in shapes}
-    assert distinct == {8, 16, 32}  # buckets, not native lengths
+    assert distinct == {8, 16, 24}  # buckets, not native lengths
     assert feats.shape[0] == len(lengths)
 
 
@@ -361,7 +374,7 @@ def test_msppn_bucketed_eval_ignores_graph_layout():
     --pyramid-part (per-frame part count != the model's pooled parts). The
     pad hook used to assert the split-major layout and crash mid-eval; it
     now pads to the model's own fixed shape. Lengths include an exact
-    power-of-two so the no-padding case lands on the same shape too."""
+    bucket length so the no-padding case lands on the same shape too."""
     from agrl_tpu.models.graphnet import msppn
 
     model = msppn(num_classes=4, num_split=2, layers=(1, 1, 1, 1))

@@ -88,8 +88,9 @@ def waste_dense(lengths, seq_len: int, clip_batch: int, dp: int):
 
 
 def waste_bucketed_all(lengths, clip_batch: int, dp: int) -> dict:
-    """`--test-sample all`: each tracklet pads to the next power-of-two
-    length (>= 8) and same-bucket tracklets batch to
+    """`--test-sample all`: each tracklet pads to the next bucket-ladder
+    length (Evaluator._bucket_len: geometric ~1.25x on multiples of 8,
+    >= 8) and same-bucket tracklets batch to
     ab = roundup(frame_budget // Sp, dp) rows (evaluator.py:235-237);
     the tail flush pads to ab. Cost model = frames pushed through the
     masked forward (batch rows x Sp). Returns the fraction of pushed
