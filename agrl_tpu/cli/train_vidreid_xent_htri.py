@@ -134,9 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cache decoded frames in host RAM across epochs "
                         "(~H*W*3 bytes per distinct frame; keeps the input "
                         "pipeline off the critical path after epoch one)")
-    p.add_argument("--cache-gb", type=float, default=8.0,
+    p.add_argument("--cache-gb", type=float, default=None,
                    help="host-RAM budget (GB) for the --cache-frames LRU, "
-                        "shared across train/query/gallery; <=0 = unbounded")
+                        "shared across train/query/gallery; <=0 = unbounded. "
+                        "Default: auto — 8 GB, raised to hold the collated "
+                        "eval batch set (repeat evals go host-free) when "
+                        "that fits 40%% of MemAvailable")
     p.add_argument("--frame-cache-dir", type=str, default="",
                    help="persistent on-disk decoded-frame cache directory: "
                         "JPEG decode cost is paid once per machine — later "
@@ -256,31 +259,36 @@ def run(args):
 
     shared_cache = None
     if args.cache_frames:
+        from agrl_tpu.data.cache import resolve_cache_budget
+
         full_gb = estimate_cache_gb(
             [dataset.train, dataset.query, dataset.gallery], args.height, args.width
         )
-        cap_bytes = int(args.cache_gb * 1e9) if args.cache_gb > 0 else None
-        cap_txt = f"{args.cache_gb:g} GB cap" if cap_bytes else "UNBOUNDED"
-        print(
-            f"Frame cache: ~{full_gb:.1f} GB to hold every decoded frame "
-            f"({args.height}x{args.width}); LRU budget = {cap_txt} (--cache-gb)"
-        )
         # deterministic eval loaders cache whole collated batches; repeat
         # evals are host-free only if that working set fits the budget
-        # (an undersized LRU gets ~0 hits on the cyclic eval scan)
+        # (an undersized LRU gets ~0 hits on the cyclic eval scan). The
+        # auto default RAISES the budget to hold it when host RAM allows.
         eval_gb = (
             (len(dataset.query) + len(dataset.gallery))
             * args.seq_len * args.height * args.width * 3 / 1e9
+            if args.test_sample == "evenly"
+            else 0.0
+        )
+        cap_bytes, cap_txt = resolve_cache_budget(args.cache_gb, eval_gb)
+        print(
+            f"Frame cache: ~{full_gb:.1f} GB to hold every decoded frame "
+            f"({args.height}x{args.width}); LRU budget = {cap_txt}"
         )
         hint = (
             " — raise --cache-gb to keep repeat evals host-free"
-            if cap_bytes and eval_gb * 1e9 > cap_bytes and args.test_sample == "evenly"
+            if cap_bytes and eval_gb * 1e9 > cap_bytes
             else ""
         )
-        print(
-            f"Eval batch cache: ~{eval_gb:.1f} GB holds every collated "
-            f"eval batch (evenly){hint}"
-        )
+        if eval_gb:
+            print(
+                f"Eval batch cache: ~{eval_gb:.1f} GB holds every collated "
+                f"eval batch (evenly){hint}"
+            )
         shared_cache = BoundedCache(cap_bytes)
     from agrl_tpu.data.transforms import effective_decoder
 

@@ -73,11 +73,16 @@ class iLIDSVID(VidReidDataset):
         dataset dir, which an interrupted download leaves behind,
         wedging every later attempt. The tar downloads to a `.part`
         name and is removed after extraction (or on failure), so a
-        retry always re-fetches cleanly."""
+        retry always re-fetches cleanly. Extraction goes into a temp
+        directory that is PROMOTED by per-entry rename only after the
+        whole tar extracted: an extraction interrupted partway can never
+        leave both content dirs present-but-truncated (which would make
+        the next run print 'already downloaded' over a broken tree)."""
         if osp.exists(self.data_dir) and osp.exists(self.split_dir):
             print("This dataset has been downloaded.")
             return
         import os
+        import shutil
         import tarfile
         import urllib.request
 
@@ -87,16 +92,29 @@ class iLIDSVID(VidReidDataset):
         fpath = osp.join(
             self.dataset_dir, osp.basename(self.dataset_url) + ".part"
         )
+        tmp_dir = osp.join(self.dataset_dir, ".extract_tmp")
         print("Downloading iLIDS-VID dataset")
         try:
             urllib.request.urlretrieve(self.dataset_url, fpath)
             print("Extracting files")
+            if osp.exists(tmp_dir):  # stale partial from an interrupted run
+                shutil.rmtree(tmp_dir)
             with tarfile.open(fpath) as tar:
                 # 'data' filter: refuse absolute paths / .. traversal / devices
-                tar.extractall(path=self.dataset_dir, filter="data")
+                tar.extractall(path=tmp_dir, filter="data")
+            # promote: per-entry rename. An interruption between renames
+            # leaves at most ONE of (data_dir, split_dir) present, so the
+            # content check above stays false and the next run re-extracts.
+            for name in os.listdir(tmp_dir):
+                dst = osp.join(self.dataset_dir, name)
+                if osp.exists(dst):  # partial promote from a previous run
+                    shutil.rmtree(dst)
+                os.rename(osp.join(tmp_dir, name), dst)
         finally:
             if osp.exists(fpath):
                 os.remove(fpath)
+            if osp.exists(tmp_dir):
+                shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def _prepare_split(self):
         if osp.exists(self.split_path):

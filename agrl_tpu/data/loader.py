@@ -362,7 +362,11 @@ class ClipLoader:
                 yield batch
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                # cancel queued work, then WAIT for in-flight build() calls:
+                # a consumer that abandons the generator mid-batch
+                # (GeneratorExit) may close the dataset's FrameDiskCache
+                # next — an unawaited worker would race its pread fd
+                pool.shutdown(wait=True, cancel_futures=True)
 
     @staticmethod
     def _collate(items):

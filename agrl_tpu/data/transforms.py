@@ -131,9 +131,20 @@ def effective_decoder(decode: str) -> str:
     unless the user forced PIL or the native library is not built.
     (Non-JPEG frames always decode via PIL in every mode — identical
     pixels across modes, so they never affect cache provenance.) This is
-    the tag `FrameDiskCache` uses to keep stores single-decoder."""
+    the tag `FrameDiskCache` uses to keep stores single-decoder.
+
+    An explicit decode='native' with the library unbuilt raises HERE —
+    before any FrameDiskCache is opened — because opening a warm
+    native-tagged store under a fallback 'pil' tag would WIPE it
+    (cache.py tag mismatch) for a run that is doomed to fail at the
+    first _decode_batch anyway."""
     from agrl_tpu.data import jpeg_native
 
+    if decode == "native" and not jpeg_native.available():
+        raise RuntimeError(
+            "decode='native' but the native decoder is not built "
+            "(make -C native builds libjpeg_decode.so)"
+        )
     return "pil" if decode == "pil" or not jpeg_native.available() else "native"
 
 

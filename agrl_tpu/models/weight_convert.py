@@ -747,6 +747,88 @@ def _inverse_transform(arr: np.ndarray, kind):
     return arr
 
 
+def _probe_entry_maps(convert_fn, template: dict):
+    """torch name -> [(flat flax path incl. collection, source-index array)]
+    by feeding the FORWARD converter one index-valued entry at a time.
+
+    The probe array holds arange(size) (exact in float64 up to 2^53), so
+    every emitted flax leaf literally contains, at each position, the flat
+    index of the torch element it came from — which inverts ANY pure
+    relayout (transpose/reshape/slice/chunk) the converter applies without
+    re-deriving it. Converters that SUM two torch entries into one leaf
+    (the LSTM bias pair) show up as two names claiming one path; the
+    export resolves those by residual (see _export_by_probe)."""
+    maps = {}
+    for name, tvalue in template.items():
+        arr = _to_numpy(tvalue)
+        probe = np.arange(arr.size, dtype=np.float64).reshape(arr.shape)
+        tree, _ = convert_fn({name: probe})
+        entries = []
+        for collection in ("params", "batch_stats"):
+            for path, leaf in traverse_util.flatten_dict(
+                tree.get(collection, {})
+            ).items():
+                idx = np.rint(np.asarray(leaf)).astype(np.int64)
+                entries.append(((collection,) + tuple(path), idx))
+        if entries:
+            maps[name] = entries
+    return maps
+
+
+def _export_by_probe(variables, template: dict, convert_fn):
+    """Reverse migration for the emit-style converters (legacy temporal/
+    image/resnet50m/3D families): invert the forward converter via
+    _probe_entry_maps. Same contract as export_torch_state_dict."""
+    flat = {}
+    for collection in ("params", "batch_stats"):
+        for path, leaf in traverse_util.flatten_dict(
+            variables.get(collection, {})
+        ).items():
+            flat[(collection,) + tuple(path)] = leaf
+
+    maps = _probe_entry_maps(convert_fn, template)
+    # group claimants per flax path (template order) to resolve summed
+    # emissions: forward computes leaf = sum_i T_i(torch[name_i]), so all
+    # but the LAST claimant keep their template values and the last gets
+    # the residual — the round trip then reproduces the leaf exactly.
+    claims: dict[tuple, list] = {}
+    for name in template:
+        for path, idx in maps.get(name, []):
+            claims.setdefault(path, []).append((name, idx))
+
+    writes: dict[str, list] = {name: [] for name in template}
+    for path, claimants in claims.items():
+        leaf = flat.get(path)
+        if leaf is None:
+            continue
+        leaf = np.asarray(leaf, np.float32)
+        if any(idx.shape != leaf.shape for _, idx in claimants):
+            continue  # e.g. a different-#classes head: keep the template
+        if len(claimants) == 1:
+            name, idx = claimants[0]
+            writes[name].append((idx.ravel(), leaf.ravel()))
+        else:
+            *others, (lname, lidx) = claimants
+            residual = leaf.astype(np.float64).ravel()
+            for name, idx in others:
+                residual -= _to_numpy(template[name]).ravel()[idx.ravel()]
+            writes[lname].append((lidx.ravel(), residual.astype(np.float32)))
+
+    out, filled, kept = {}, [], []
+    for name, tvalue in template.items():
+        tarr = _to_numpy(tvalue)
+        if writes[name]:
+            dst = tarr.astype(np.float32).copy()
+            for pos, vals in writes[name]:
+                dst.ravel()[pos] = vals
+            out[name] = dst
+            filled.append(name)
+        else:
+            out[name] = tarr
+            kept.append(name)
+    return out, filled, kept
+
+
 def export_torch_state_dict(variables, template: dict, arch: str):
     """REVERSE migration: fill a reference-named torch state dict with this
     framework's weights (train on TPU -> hand a .pth.tar back to a torch
@@ -763,8 +845,12 @@ def export_torch_state_dict(variables, template: dict, arch: str):
     (a different #classes head), mirroring the forward shape-filtered
     partial load.
 
-    Supported archs: the full registry (GSTA family + msppn/msppgn). The
-    legacy unregistered families (temporal/image/3D) convert forward only.
+    Supported archs: EVERY converter family — the GSTA registry family +
+    msppn/msppgn via their shared name maps, and the legacy unregistered
+    families (temporal/image, resnet50m, 3D) via _export_by_probe, which
+    inverts their forward converters directly (one source of truth; the
+    reference round-trips all of them via torch.save,
+    /root/reference/torchreid/utils/iotools.py:41-55).
 
     Returns (state_dict {name: np.ndarray float32}, filled, kept):
     `filled` = names overwritten from flax; `kept` = template names left
@@ -776,11 +862,12 @@ def export_torch_state_dict(variables, template: dict, arch: str):
         def name_map(n):
             return _graphnet_name_map(n, arch, n_cls)
 
-    elif arch in _TEMPORAL_ARCHS or arch == "resnet50m" or arch in _RESNET3D_ARCHS:
-        raise NotImplementedError(
-            f"reverse export for legacy arch '{arch}' is not implemented "
-            "(forward .pth -> flax conversion only)"
-        )
+    elif arch in _TEMPORAL_ARCHS:
+        return _export_by_probe(variables, template, convert_temporal_state_dict)
+    elif arch == "resnet50m":
+        return _export_by_probe(variables, template, convert_resnet50m_state_dict)
+    elif arch in _RESNET3D_ARCHS:
+        return _export_by_probe(variables, template, convert_resnet3d_state_dict)
     else:  # GSTA family (the registry default)
         name_map = _split_torch_name
 

@@ -123,31 +123,44 @@ def bench_host_pipeline(S=8, H=256, W=128, n_track=400, frames_per=10, batch=64)
         pose_info=pose_info, num_split=4, pyramid_part=True, enable_pose=True,
         cache_frames=True, key_fn=lambda p: p,
     )
-    def best(passes, n=3, pre=None):
-        """Best-of-n throughput (this 1-core host sees multi-10% OS
-        scheduling noise; max is the honest steady-state estimate)."""
-        out = 0.0
+    def reps_of(passes, n=5, pre=None):
+        """n independent throughput reps. The host metrics report the
+        MEDIAN with n named in the JSON (VERDICT r04 weak #3 / item 8:
+        max-of-few made the r03-vs-r04 host-rate drift unattributable —
+        median + spread makes cross-round comparisons meaningful on a
+        1-core host with multi-10%% OS scheduling noise)."""
+        out = []
         for _ in range(n):
             if pre is not None:
                 pre()
-            out = max(out, passes())
+            out.append(passes())
         return out
 
     ds = VideoClipDataset(tracklets, **ds_args)
     loader = ClipLoader(ds, batch_size=batch, num_workers=1, malloc_tuning=True)
     run(loader)  # page-cache + cache-fill warmup
     # decode-bound pass (page cache warm, like epoch 2+ of a new machine)
-    cold = best(lambda: run(loader), n=2, pre=ds.cache.clear)
-    warm = best(lambda: run(loader))  # batch-cache steady state
+    cold_reps = reps_of(lambda: run(loader), pre=ds.cache.clear)
+    warm_reps = reps_of(lambda: run(loader))  # batch-cache steady state
 
     # persistent frame store: first pass populates (or reuses a prior
     # bench's store), then a RAM-cold pass = every later run's epoch 1
     ds2 = VideoClipDataset(tracklets, disk_cache=root + "_fstore", **ds_args)
     loader2 = ClipLoader(ds2, batch_size=batch, num_workers=1, malloc_tuning=True)
     run(loader2)  # populate/verify the store
-    disk_cold = best(lambda: run(loader2), pre=ds2.cache.clear)
+    disk_reps = reps_of(lambda: run(loader2), pre=ds2.cache.clear)
     ds2.disk_cache.close()
-    return cold, disk_cold, warm, cold * S
+    med = lambda r: float(np.median(r))  # noqa: E731
+    return {
+        "decode_clips_per_sec": med(cold_reps),
+        "disk_cold_clips_per_sec": med(disk_reps),
+        "warm_clips_per_sec": med(warm_reps),
+        "decode_imgs_per_sec_per_core": med(cold_reps) * S,
+        "host_rate_reps": len(cold_reps),
+        "host_rate_estimator": "median",
+        "decode_reps_min_max": [round(min(cold_reps), 1), round(max(cold_reps), 1)],
+        "disk_reps_min_max": [round(min(disk_reps), 1), round(max(disk_reps), 1)],
+    }
 
 
 def main():
@@ -330,6 +343,13 @@ def main():
     host_disk_cold = host["disk_cold_clips_per_sec"]
     host_warm = host["warm_clips_per_sec"]
     imgs_per_core = host["decode_imgs_per_sec_per_core"]
+    host_extras = {
+        k: host[k]
+        for k in (
+            "host_rate_reps", "host_rate_estimator",
+            "decode_reps_min_max", "disk_reps_min_max",
+        )
+    }
     # cold start = fresh process on a machine with the persistent frame
     # store populated (the shipped pipeline config); the first-ever run on
     # a machine is decode-bound and reported separately
@@ -353,6 +373,7 @@ def main():
         "host_decode_per_core_vs_baseline": round(
             imgs_per_core / BASELINE_IMGS_PER_SEC_PER_WORKER, 2
         ),
+        **host_extras,
         "extract_ms_per_batch64_bf16": round(extract_s * 1e3, 2),
         "serving_clips_per_sec": round(serving_clips_per_sec, 1),
         "serving_h2d_rate_clips_per_sec": round(serving_h2d_rate, 1),
@@ -369,16 +390,6 @@ def main():
 if __name__ == "__main__":
     _ensure_native_built()
     if "--host-only" in sys.argv:
-        decode, disk_cold, warm, imgs_per_core = bench_host_pipeline()
-        print(
-            json.dumps(
-                {
-                    "decode_clips_per_sec": decode,
-                    "disk_cold_clips_per_sec": disk_cold,
-                    "warm_clips_per_sec": warm,
-                    "decode_imgs_per_sec_per_core": imgs_per_core,
-                }
-            )
-        )
+        print(json.dumps(bench_host_pipeline()))
     else:
         main()

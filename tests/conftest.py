@@ -20,10 +20,12 @@ import jax  # noqa: E402
 # the 8 virtual CPU devices
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: repeated test runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# persistent compile cache: repeated test runs skip XLA recompilation.
+# Shared with the dryrun/mp workers (same dir) so a test run pre-warms
+# the driver's multichip certification and vice versa.
+from agrl_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

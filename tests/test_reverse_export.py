@@ -197,11 +197,14 @@ def test_shape_mismatched_head_kept_from_template(ref_vmgn_10):
         np.testing.assert_array_equal(state[n], tmodel.state_dict()[n].numpy())
 
 
-def test_legacy_arch_reverse_raises():
+def test_legacy_arch_reverse_empty_template():
+    """Legacy families now export via the probe-based inverter
+    (weight_convert._export_by_probe; round-trip coverage lives in
+    tests/test_graphnet_parity.py). An empty template is a no-op."""
     from agrl_tpu.models.weight_convert import export_torch_state_dict
 
-    with pytest.raises(NotImplementedError, match="res50ta"):
-        export_torch_state_dict({"params": {}}, {}, "res50ta")
+    state, filled, kept = export_torch_state_dict({"params": {}}, {}, "res50ta")
+    assert state == {} and filled == [] and kept == []
 
 
 def test_export_torch_tool_end_to_end(tmp_path, ref_vmgn_10):

@@ -7,7 +7,9 @@ tooling). Needs no model code on either side: the msgpack checkpoint
 loads template-free, and a `--template` torch state dict of the same
 arch (typically the checkpoint you originally migrated FROM, or a fresh
 torch-side init) supplies the names — both directions of the migration
-share one name map (agrl_tpu/models/weight_convert.py).
+share one source of truth (agrl_tpu/models/weight_convert.py: shared name
+maps for the registry families; the legacy temporal/image/resnet50m/3D
+families invert their forward converters directly via _export_by_probe).
 
     python tools/export_torch.py -a vmgn \
         --load-weights log/.../best_model.msgpack \
@@ -57,8 +59,12 @@ def build_parser():
 
 # template entries EXPECTED to keep their template values (they have no
 # flax counterpart by design; everything else kept is suspicious)
-def _expected_kept(name: str) -> bool:
-    return name.endswith("num_batches_tracked") or name.endswith("bottleneck.bias")
+def _expected_kept(name: str, arch: str) -> bool:
+    if name.endswith("num_batches_tracked") or name.endswith("bottleneck.bias"):
+        return True
+    # resnet50b's train-only bottleneck head (reference resnet.py ResNet50B)
+    # has no flax counterpart at eval parity — the whole head keeps
+    return arch == "resnet50b" and ".bottleneck." in f".{name}"
 
 
 def main(argv=None):
@@ -73,7 +79,7 @@ def main(argv=None):
     variables = load_variables(args.load_weights)
     template = _load_state_dict_file(args.template)
     state, filled, kept = export_torch_state_dict(variables, template, args.arch)
-    surprising = [n for n in kept if not _expected_kept(n)]
+    surprising = [n for n in kept if not _expected_kept(n, args.arch)]
     print(f"Filled {len(filled)}/{len(state)} entries from {args.load_weights}; "
           f"kept {len(kept)} template entries "
           f"({len(kept) - len(surprising)} expected no-counterpart)")

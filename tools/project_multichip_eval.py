@@ -36,7 +36,11 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-# measured single-chip rates (bench.py on TPU v5e-1, BENCH_r03/r04)
+# fallback single-chip rates (bench.py on TPU v5e-1, BENCH_r03) — used
+# only when no BENCH_r*.json snapshot exists; load_bench_rates() otherwise
+# re-bases every projection on the NEWEST bench output (VERDICT r04
+# weak #3: r04's hardcoded r03 constants silently inherited the better
+# round when the host rates drifted -17%/-10%)
 CHIP_CLIPS_PER_SEC = 1274.0  # warm e2e, evenly, bf16, batch 64
 # Deterministic eval loaders cache whole collated batches (data/loader.py),
 # so the warm steady state is one LRU lookup per batch — measured 7.1e6
@@ -51,6 +55,35 @@ HOST_WARM = 7.1e6  # batch-cache steady state, 1 core, eval set in budget
 HOST_DISK = 1689.7  # persistent frame store, 1 core
 HOST_DECODE = 528.4  # native libjpeg decode, per core
 BASELINE = 711.0  # the whole 4x TITAN X rig (BASELINE.md)
+
+
+def load_bench_rates(bench_json: str | None = None):
+    """Rates from the newest BENCH_r*.json (or an explicit path), falling
+    back to the module constants. Returns (rates dict, snapshot name)."""
+    import glob
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    rates = {
+        "chip": CHIP_CLIPS_PER_SEC, "warm": HOST_WARM,
+        "disk": HOST_DISK, "decode": HOST_DECODE,
+    }
+    if bench_json is None:
+        snaps = sorted(glob.glob(osp.join(repo, "BENCH_r*.json")))
+        bench_json = snaps[-1] if snaps else None
+    if bench_json is None:
+        return rates, "none (module fallback constants, r03)"
+    with open(bench_json) as f:
+        parsed = json.load(f).get("parsed") or {}
+    keymap = {
+        "chip": "eval_e2e_clips_per_sec",
+        "warm": "host_pipeline_warm_clips_per_sec",
+        "disk": "host_pipeline_diskcache_clips_per_sec",
+        "decode": "host_pipeline_decode_clips_per_sec",
+    }
+    for k, bk in keymap.items():
+        if bk in parsed:
+            rates[k] = float(parsed[bk])
+    return rates, osp.basename(bench_json)
 
 
 def mars_like_lengths(n: int, rng: np.random.RandomState) -> np.ndarray:
@@ -163,13 +196,20 @@ def vmgn_weight_bytes() -> int:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chip-clips-per-sec", type=float, default=CHIP_CLIPS_PER_SEC)
+    ap.add_argument("--bench-json", type=str, default=None,
+                    help="bench snapshot to project from (default: newest "
+                         "BENCH_r*.json in the repo root)")
+    ap.add_argument("--chip-clips-per-sec", type=float, default=None,
+                    help="override the snapshot's single-chip e2e rate")
     ap.add_argument("--n-chips", type=int, default=4)
     ap.add_argument("--clip-batch", type=int, default=64)
     ap.add_argument("--seq-len", type=int, default=8)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=128)
     args = ap.parse_args()
+    rates, snapshot = load_bench_rates(args.bench_json)
+    chip_rate_1 = args.chip_clips_per_sec or rates["chip"]
+    host_warm, host_disk, host_decode = rates["warm"], rates["disk"], rates["decode"]
     mb_per_clip = args.seq_len * args.height * args.width * 3 / 1e6  # uint8 H2D
 
     rng = np.random.RandomState(0)
@@ -187,12 +227,17 @@ def main():
 
     # projection: evenly (the headline protocol) on n chips
     waste = evenly_w[dp]
-    chip_rate_n = args.n_chips * args.chip_clips_per_sec * (1 - waste)
-    e2e_warm = min(HOST_WARM, chip_rate_n)  # 1-core host, RAM cache
-    e2e_disk3 = min(3 * HOST_DISK, chip_rate_n)  # 3 cores on frame store
-    cores_to_feed_decode = chip_rate_n / HOST_DECODE
+    chip_rate_n = args.n_chips * chip_rate_1 * (1 - waste)
+    e2e_warm = min(host_warm, chip_rate_n)  # 1-core host, RAM cache
+    e2e_disk3 = min(3 * host_disk, chip_rate_n)  # 3 cores on frame store
+    cores_to_feed_decode = chip_rate_n / host_decode
 
     out = {
+        "bench_snapshot": snapshot,
+        "input_rates_clips_per_sec": {
+            "single_chip_e2e": chip_rate_1, "host_warm": host_warm,
+            "host_diskcache": host_disk, "host_decode": host_decode,
+        },
         "mars_like_lengths": {
             "n": Q + G, "min": int(lengths.min()), "max": int(lengths.max()),
             "mean": round(float(lengths.mean()), 1),
