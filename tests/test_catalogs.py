@@ -336,3 +336,62 @@ def test_dukemtmcvidreid_catalog(tmp_path):
         "dukemtmcvidreid", root=root, verbose=False, use_pose=False
     )
     assert ds2.train == ds.train
+
+
+def test_ilidsvid_download_recovers_from_failed_extraction(tmp_path, monkeypatch):
+    """An extraction interrupted partway (ADVICE r04: tar.extractall dies
+    after creating some top-level dirs) must not wedge: extraction goes to
+    a temp dir promoted only when complete, so the next download=True run
+    re-fetches and succeeds instead of cataloging a truncated tree."""
+    import tarfile
+
+    src_root = str(tmp_path / "remote")
+    d = _build_ilids_tree(src_root)
+    tar_path = str(tmp_path / "iLIDS-VID.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(osp.join(d, "i-LIDS-VID"), arcname="i-LIDS-VID")
+        tar.add(
+            osp.join(d, "train-test people splits"),
+            arcname="train-test people splits",
+        )
+
+    import urllib.request
+
+    def fake_urlretrieve(url, fpath):
+        import shutil
+
+        shutil.copy(tar_path, fpath)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+
+    orig_extractall = tarfile.TarFile.extractall
+    calls = []
+
+    def dying_extractall(self, path=None, members=None, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            # extract only the FIRST top-level entry, then die mid-way
+            first = self.getmembers()[: len(self.getmembers()) // 2]
+            orig_extractall(self, path=path, members=first, **kw)
+            raise OSError("disk full")
+        return orig_extractall(self, path=path, members=members, **kw)
+
+    monkeypatch.setattr(tarfile.TarFile, "extractall", dying_extractall)
+    dest_root = str(tmp_path / "local")
+    with pytest.raises(OSError, match="disk full"):
+        init_vidreid_dataset(
+            "ilidsvid", root=dest_root, verbose=False,
+            use_pose=False, download=True,
+        )
+    # neither content dir was promoted -> no 'already downloaded' wedge
+    dataset_dir = osp.join(dest_root, "ilids-vid")
+    assert not (
+        osp.exists(osp.join(dataset_dir, "i-LIDS-VID"))
+        and osp.exists(osp.join(dataset_dir, "train-test people splits"))
+    )
+    ds = init_vidreid_dataset(
+        "ilidsvid", root=dest_root, verbose=False,
+        use_pose=False, download=True,
+    )
+    assert len(calls) == 2  # retried the extraction
+    assert ds.num_train_pids == 150
