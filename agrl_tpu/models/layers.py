@@ -76,6 +76,89 @@ def l2_affinity(v: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jax.nn.sigmoid(-dist)
 
 
+def _blend_graph_l2_math(x: jnp.ndarray, adj: jnp.ndarray):
+    """Reference composition (vmgn.py:142-164): pose adjacency row-L1-
+    normalized, l2 affinity row-L1-normalized, averaged. Returns the
+    blended graph plus the intermediates the hand-written VJP reuses."""
+    x = x.astype(jnp.float32)
+    ra = jnp.maximum(jnp.sum(jnp.abs(adj), axis=2, keepdims=True), 1e-12)
+    adjn = adj / ra
+    sq = jnp.sum(x * x, axis=2)
+    d2 = sq[:, None, :] + sq[:, :, None] - 2.0 * jnp.einsum(
+        "bic,bjc->bij", x, x, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.sqrt(jnp.clip(d2, min=1e-12))
+    sim = 2.0 * jax.nn.sigmoid(-d)  # overflow-safe l2_affinity
+    r = jnp.maximum(jnp.sum(sim, axis=2, keepdims=True), 1e-12)  # sim > 0
+    return (adjn + sim / r) / 2.0, (adjn, ra, d2, d, sim, r)
+
+
+@jax.custom_vjp
+def blend_graph_l2(x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+    """Fused pose+learned graph for the vmgn/gsta l2 path, with a
+    HAND-WRITTEN backward (VERDICT r04 weak #6 / item 6).
+
+    Forward == l1_normalize(adj) averaged with l1_normalize(l2_affinity(x))
+    — bit-comparable to the inline composition (same ops, same order).
+    The payoff is the backward: autodiff emits a ~40-kernel chain of tiny
+    (B, V, V) VPU ops (sigmoid'/sqrt'/clip'/normalize' each as separate
+    fusions with (B, V, C) round trips); the closed form below is 6
+    elementwise (B, V, V) ops + one rowsum + ONE (B, V, V)x(B, V, C)
+    matmul that lands on the MXU:
+
+        dgn  = dG/2;  dsim = (dgn - rowsum(dgn*sim)/r) / r
+        dd   = -sim (1 - sim/2) dsim          (sigmoid chain)
+        dd2  = dd / (2 d)   where d2 > eps    (sqrt + clip chain)
+        M    = dd2 + dd2^T
+        dx   = 2 (rowsum(M) * x - M @ x)      (pairwise-distance chain)
+    """
+    return _blend_graph_l2_math(x, adj)[0]
+
+
+def _blend_graph_l2_fwd(x, adj):
+    G, (adjn, ra, d2, d, sim, r) = _blend_graph_l2_math(x, adj)
+    return G, (x.astype(jnp.float32), adj, adjn, ra, d2, d, sim, r)
+
+
+def _blend_graph_l2_bwd(res, dG):
+    x, adj, adjn, ra, d2, d, sim, r = res
+    dG = dG.astype(jnp.float32)
+    dgn = 0.5 * dG
+    # learned-branch normalize backward (rows sum over axis 2)
+    dsim = (dgn - jnp.sum(dgn * sim, axis=2, keepdims=True) / r) / r
+    dd = dsim * (-sim * (1.0 - 0.5 * sim))
+    dd2 = jnp.where(d2 > 1e-12, dd / (2.0 * d), 0.0)
+    M = dd2 + jnp.swapaxes(dd2, 1, 2)
+    dx = 2.0 * (
+        jnp.sum(M, axis=2, keepdims=True) * x
+        - jnp.einsum("bij,bjc->bic", M, x,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    )
+    # pose-branch normalize backward (adj is dataset data — grads unused in
+    # training, but custom_vjp must return a correct cotangent).
+    # l1_normalize's numerator is adj (not |adj|): the sign enters only
+    # through the denominator term, and only where the row sum was not
+    # eps-clamped (max passes zero grad to a clamped sum) — matches
+    # autodiff exactly, including all-zero (missing-pose) rows.
+    dadjn = 0.5 * dG
+    s = jnp.sum(jnp.abs(adj), axis=2, keepdims=True)
+    # d|a|/da: JAX defines the abs gradient at 0 as +1 (select(x >= 0)),
+    # NOT sign(0) = 0 — match it so zero entries in nonzero rows agree
+    dabs = jnp.where(adj >= 0, 1.0, -1.0)
+    denom_term = jnp.where(
+        s > 1e-12,
+        dabs * (jnp.sum(dadjn * adjn, axis=2, keepdims=True) / ra),
+        0.0,
+    )
+    dadj = dadjn / ra - denom_term
+    return dx.astype(x.dtype), dadj.astype(adj.dtype)
+
+
+blend_graph_l2.defvjp(_blend_graph_l2_fwd, _blend_graph_l2_bwd)
+
+
 def _pair_mask(vertex_mask: jnp.ndarray) -> jnp.ndarray:
     """(B, V) 0/1 vertex mask -> (B, V, V) pairwise mask: entry (i, j) is
     1 iff BOTH endpoints are real vertices. Shared by GraphConvLayer and
@@ -126,28 +209,37 @@ class GraphConvLayer(nn.Module):
             pair_mask = _pair_mask(vertex_mask)
             mask = pair_mask if mask is None else mask * pair_mask
 
-        if self.use_pose:
-            if mask is not None:
-                adj = adj * mask
-            adj = l1_normalize(adj, axis=2)
-
-        if self.learn_graph:
-            if self.dist_method == "dot":
-                num_hid = self.in_features // 8
-                q = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_q")(x)
-                k = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_k")(x)
-                sim = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
-            elif self.dist_method == "l2":
-                sim = l2_affinity(x)
-            else:
-                raise NotImplementedError(self.dist_method)
-            if mask is not None:
-                sim = sim * mask
-            graph = l1_normalize(sim, axis=2)
-            if self.use_pose:
-                graph = (adj + graph) / 2.0
+        if (
+            self.learn_graph and self.use_pose and self.dist_method == "l2"
+            and mask is None
+        ):
+            # the vmgn/gsta hot path: fused graph build with a hand-written
+            # backward (blend_graph_l2) — same math, ~6 backward kernels
+            # instead of autodiff's tiny-op chain over (B, V, V) tensors
+            graph = blend_graph_l2(x, adj)
         else:
-            graph = adj
+            if self.use_pose:
+                if mask is not None:
+                    adj = adj * mask
+                adj = l1_normalize(adj, axis=2)
+
+            if self.learn_graph:
+                if self.dist_method == "dot":
+                    num_hid = self.in_features // 8
+                    q = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_q")(x)
+                    k = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_k")(x)
+                    sim = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
+                elif self.dist_method == "l2":
+                    sim = l2_affinity(x)
+                else:
+                    raise NotImplementedError(self.dist_method)
+                if mask is not None:
+                    sim = sim * mask
+                graph = l1_normalize(sim, axis=2)
+                if self.use_pose:
+                    graph = (adj + graph) / 2.0
+            else:
+                graph = adj
 
         h_prime = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
         # BatchNorm over all (B*V) vertex rows, matching BN1d(view(N*V, C))

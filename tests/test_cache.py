@@ -498,8 +498,14 @@ def test_auto_budget_keeps_repeat_evals_host_free(tmp_path, monkeypatch):
     from agrl_tpu.data.loader import ClipLoader
 
     helper = TestDatasetWiring()
-    # shrink the scenario: eval set = 5 clips x 4 x 32 x 16 x 3 bytes
-    eval_gb = 5 * 4 * 32 * 16 * 3 / 1e9
+    # measure the TRUE collated working set (imgs + adjacency + ids; at
+    # this tiny scale the (V, V) adjacency is ~35% of the bytes — at the
+    # production 256x128x8 shape it is ~1.6%, inside the resolver's 10%
+    # headroom over the CLI's imgs-only estimate)
+    probe = helper._counting_dataset(tmp_path, cache=BoundedCache(None))
+    list(ClipLoader(probe, batch_size=2, num_workers=1))
+    eval_gb = probe.cache.nbytes / 1e9
+
     monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_GB", eval_gb * 0.5)
     cap, reason = resolve_cache_budget(None, eval_gb, avail_gb=1.0)
     assert "auto-raised" in reason and cap >= eval_gb * 1e9

@@ -78,10 +78,13 @@ def test_paper_config_training_learns(tmp_path):
 @pytest.fixture(scope="module")
 def trained_on_discriminative(tmp_path_factory):
     """Train the tiny VMGN on the discriminative MARS-layout fixture and
-    return (model, variables, dataset, geometry). Module-scoped: the
-    informative-band assertions and the eval-path equivalence tests all
-    score the SAME converged weights."""
+    return (model, variables, dataset, geometry). Module-scoped in-process;
+    DISK-cached across runs keyed by the training-path source files
+    (tests/fixture_cache.py) — an unchanged tree skips the ~3-min training,
+    any train-path edit re-trains."""
     from agrl_tpu.data.datasets.synthetic_mars import materialize_mars_layout
+
+    from .fixture_cache import TRAIN_PATH_KEYS, disk_cached
 
     root = str(tmp_path_factory.mktemp("disc"))
     materialize_mars_layout(
@@ -92,34 +95,42 @@ def trained_on_discriminative(tmp_path_factory):
     ds = init_vidreid_dataset("mars", root=root, use_pose=True, verbose=False)
 
     S, H, W = 4, 64, 32
-    kw = dict(height=H, width=W, pose_info=ds.process_poses, num_split=4,
-              pyramid_part=True, enable_pose=True)
-    train_ds = VideoClipDataset(ds.train, seq_len=S, sample="restricted", **kw)
-    sampler = init_sampler("RandomIdentitySamplerV1", ds.train, 8, 2, seed=0)
-    loader = ClipLoader(train_ds, batch_size=8, sampler=sampler,
-                        drop_last=True, num_workers=1, seed=0)
-
     model = init_model(
         "vmgn_tiny", num_classes=ds.num_train_pids, loss={"xent", "htri"},
         num_split=4, pyramid_part=True, num_gb=1, use_pose=True,
         learn_graph=True,
     )
-    tx = init_optim("adam", lambda step: 1e-3, weight_decay=5e-4)
-    state = create_train_state(
-        model, tx, jax.random.PRNGKey(0), seq_len=S, height=H, width=W,
-        batch_size=2,
+
+    def build():
+        kw = dict(height=H, width=W, pose_info=ds.process_poses, num_split=4,
+                  pyramid_part=True, enable_pose=True)
+        train_ds = VideoClipDataset(ds.train, seq_len=S, sample="restricted", **kw)
+        sampler = init_sampler("RandomIdentitySamplerV1", ds.train, 8, 2, seed=0)
+        loader = ClipLoader(train_ds, batch_size=8, sampler=sampler,
+                            drop_last=True, num_workers=1, seed=0)
+        tx = init_optim("adam", lambda step: 1e-3, weight_decay=5e-4)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), seq_len=S, height=H, width=W,
+            batch_size=2,
+        )
+        step = make_train_step(
+            model, tx, label_smooth=True, soft_margin=True,
+            aug=dict(flip_aug=True), donate=False,
+        )
+        key = jax.random.PRNGKey(1)
+        for epoch in range(10):
+            for imgs, pids, _, adjs in loader:
+                key, sk = jax.random.split(key)
+                state, metrics = step(state, imgs, pids.astype(np.int32), adjs, sk)
+        assert np.isfinite(float(metrics["xent_loss"]))
+        return jax.tree.map(
+            np.asarray, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+
+    variables = disk_cached(
+        "disc_vmgn_tiny", TRAIN_PATH_KEYS,
+        tag="v1-pids6x8-s4h64w32-ep10-seed0", builder=build,
     )
-    step = make_train_step(
-        model, tx, label_smooth=True, soft_margin=True,
-        aug=dict(flip_aug=True), donate=False,
-    )
-    key = jax.random.PRNGKey(1)
-    for epoch in range(10):
-        for imgs, pids, _, adjs in loader:
-            key, sk = jax.random.split(key)
-            state, metrics = step(state, imgs, pids.astype(np.int32), adjs, sk)
-    assert np.isfinite(float(metrics["xent_loss"]))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     return model, variables, ds, (S, H, W)
 
 

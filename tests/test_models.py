@@ -217,3 +217,87 @@ def test_l2_affinity_gradients_finite_at_large_distances():
     val, grad = jax.value_and_grad(lambda v: l2_affinity(v).sum())(v)
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+class TestBlendGraphL2VJP:
+    """blend_graph_l2 (the fused graph build with a hand-written backward,
+    models/layers.py) must match the inline composition it replaces —
+    forward AND gradients — for the vmgn/gsta l2 path it is gated to."""
+
+    @staticmethod
+    def _inline(x, adj):
+        from agrl_tpu.models.layers import l1_normalize, l2_affinity
+
+        adjn = l1_normalize(adj, axis=2)
+        graphn = l1_normalize(l2_affinity(x), axis=2)
+        return (adjn + graphn) / 2.0
+
+    def _data(self, seed=0, B=3, V=14, C=24):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(B, V, C), jnp.float32)
+        adj = jnp.asarray((rng.rand(B, V, V) > 0.4).astype(np.float32))
+        # include an all-zero adjacency row (missing pose): the eps-clamped
+        # normalize backward must stay finite and match autodiff
+        adj = adj.at[0, 2, :].set(0.0)
+        return x, adj
+
+    def test_forward_matches_inline(self):
+        from agrl_tpu.models.layers import blend_graph_l2
+
+        x, adj = self._data()
+        got = np.asarray(blend_graph_l2(x, adj))
+        want = np.asarray(self._inline(x, adj))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+    def test_gradients_match_autodiff(self):
+        from agrl_tpu.models.layers import blend_graph_l2
+
+        x, adj = self._data(seed=1)
+        rng = np.random.RandomState(7)
+        ct = jnp.asarray(rng.randn(*self._inline(x, adj).shape), jnp.float32)
+
+        def loss_fused(x, adj):
+            return jnp.sum(blend_graph_l2(x, adj) * ct)
+
+        def loss_inline(x, adj):
+            return jnp.sum(self._inline(x, adj) * ct)
+
+        gx_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(x, adj)
+        gx_i, ga_i = jax.grad(loss_inline, argnums=(0, 1))(x, adj)
+        assert np.isfinite(np.asarray(gx_f)).all()
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_i),
+                                   atol=2e-5, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_i),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_graph_conv_layer_routes_through_fused_path(self):
+        """The layer's output (train mode, l2+pose, no mask) is unchanged
+        by the fused gate, and its input gradient matches a layer forced
+        down the inline path."""
+        import flax
+
+        layer = GraphConvLayer(in_features=24, out_features=24)
+        x, adj = self._data(seed=2, C=24)
+        v = layer.init(jax.random.PRNGKey(0), x, adj, train=True)
+
+        def run(x):
+            out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        # inline oracle: same params, gate disabled via monkeypatching the
+        # fused function to the inline composition
+        from agrl_tpu.models import layers as L
+
+        orig = L.blend_graph_l2
+        try:
+            L.blend_graph_l2 = self._inline
+            want_out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
+            want_grad = jax.grad(run)(x)
+        finally:
+            L.blend_graph_l2 = orig
+        got_out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
+        got_grad = jax.grad(run)(x)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
+                                   atol=2e-5, rtol=2e-4)
