@@ -209,37 +209,35 @@ class GraphConvLayer(nn.Module):
             pair_mask = _pair_mask(vertex_mask)
             mask = pair_mask if mask is None else mask * pair_mask
 
-        if (
-            self.learn_graph and self.use_pose and self.dist_method == "l2"
-            and mask is None
-        ):
-            # the vmgn/gsta hot path: fused graph build with a hand-written
-            # backward (blend_graph_l2) — same math, ~6 backward kernels
-            # instead of autodiff's tiny-op chain over (B, V, V) tensors
-            graph = blend_graph_l2(x, adj)
-        else:
-            if self.use_pose:
-                if mask is not None:
-                    adj = adj * mask
-                adj = l1_normalize(adj, axis=2)
+        # NOTE on blend_graph_l2 (the fused graph build with a hand-written
+        # VJP, above): measured NEUTRAL on the chip in the full train step
+        # (interleaved A/B at paper config: fused 53.12/53.57 ms vs inline
+        # 53.18/53.70 ms best/median — PROFILE.md "fused graph backward").
+        # XLA already fuses this chain in context; production stays on the
+        # autodiff composition below, the fused op remains tested
+        # optimization infrastructure (like ops/graph_conv_v2).
+        if self.use_pose:
+            if mask is not None:
+                adj = adj * mask
+            adj = l1_normalize(adj, axis=2)
 
-            if self.learn_graph:
-                if self.dist_method == "dot":
-                    num_hid = self.in_features // 8
-                    q = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_q")(x)
-                    k = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_k")(x)
-                    sim = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
-                elif self.dist_method == "l2":
-                    sim = l2_affinity(x)
-                else:
-                    raise NotImplementedError(self.dist_method)
-                if mask is not None:
-                    sim = sim * mask
-                graph = l1_normalize(sim, axis=2)
-                if self.use_pose:
-                    graph = (adj + graph) / 2.0
+        if self.learn_graph:
+            if self.dist_method == "dot":
+                num_hid = self.in_features // 8
+                q = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_q")(x)
+                k = nn.Dense(num_hid, kernel_init=graph_linear_init, name="emb_k")(x)
+                sim = jnp.einsum("bih,bjh->bij", q, k, preferred_element_type=jnp.float32)
+            elif self.dist_method == "l2":
+                sim = l2_affinity(x)
             else:
-                graph = adj
+                raise NotImplementedError(self.dist_method)
+            if mask is not None:
+                sim = sim * mask
+            graph = l1_normalize(sim, axis=2)
+            if self.use_pose:
+                graph = (adj + graph) / 2.0
+        else:
+            graph = adj
 
         h_prime = jnp.einsum("bij,bjc->bic", graph, h, preferred_element_type=jnp.float32)
         # BatchNorm over all (B*V) vertex rows, matching BN1d(view(N*V, C))

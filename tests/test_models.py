@@ -270,34 +270,7 @@ class TestBlendGraphL2VJP:
         np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_i),
                                    atol=2e-5, rtol=2e-4)
 
-    def test_graph_conv_layer_routes_through_fused_path(self):
-        """The layer's output (train mode, l2+pose, no mask) is unchanged
-        by the fused gate, and its input gradient matches a layer forced
-        down the inline path."""
-        import flax
-
-        layer = GraphConvLayer(in_features=24, out_features=24)
-        x, adj = self._data(seed=2, C=24)
-        v = layer.init(jax.random.PRNGKey(0), x, adj, train=True)
-
-        def run(x):
-            out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
-            return jnp.sum(out ** 2)
-
-        # inline oracle: same params, gate disabled via monkeypatching the
-        # fused function to the inline composition
-        from agrl_tpu.models import layers as L
-
-        orig = L.blend_graph_l2
-        try:
-            L.blend_graph_l2 = self._inline
-            want_out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
-            want_grad = jax.grad(run)(x)
-        finally:
-            L.blend_graph_l2 = orig
-        got_out, _ = layer.apply(v, x, adj, train=True, mutable=["batch_stats"])
-        got_grad = jax.grad(run)(x)
-        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
-                                   atol=1e-5, rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(got_grad), np.asarray(want_grad),
-                                   atol=2e-5, rtol=2e-4)
+    # NOTE: production GraphConvLayer stays on the autodiff composition —
+    # the fused VJP measured NEUTRAL in the full train step on the chip
+    # (PROFILE.md "fused graph backward"); blend_graph_l2 remains tested
+    # optimization infrastructure (the two tests above pin its math).
