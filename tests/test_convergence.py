@@ -3,13 +3,25 @@ label smoothing, soft-margin triplet, warmup schedule) must actually learn
 — xent drops substantially over a few epochs on the synthetic dataset and
 retrieval stays perfect.
 
-Plus the DISCRIMINATIVE benchmark (VERDICT r03 weak #3): the MARS-layout
-fixture (datasets/synthetic_mars.py) is confusable by construction
-(shared palette bands + camera nuisance), so a converged tiny model lands
-in an informative mAP band instead of saturating at 100% — a
-ranking-quality regression of a few mAP points FAILS the floor assert,
-and the packed/bucketed eval paths are held to the same band on the same
-trained weights."""
+Plus the DISCRIMINATIVE benchmark (VERDICT r03 weak #3, tightened per
+r04 item 2): the MARS-layout fixture (datasets/synthetic_mars.py) is
+confusable by construction (shared palette bands + camera nuisance), so
+a converged tiny model lands in an informative mAP band instead of
+saturating at 100%. The band asserts are MEASURED, not guessed
+(tools/measure_convergence_band.py, committed as
+tools/convergence_band.json): a 4-seed run of the exact recipe showed
+the CROSS-SEED spread (σ=0.126; seed 4 converges to 0.627) swamps the
+effect of an injected loss mis-wiring (0.621), so a mean±kσ band cannot
+be a tripwire — it would be as loose as the (0.55, 0.995) assert r04
+rejected. The fixture below trains a PINNED seed (0), whose golden
+value IS reproducible, so the floor anchors on the measured seed-0
+score minus a substrate-reproducibility margin; the injected bug lands
+11+ points below that floor (proof: test_band_floor_trips_on_injected_bug).
+The packed/bucketed eval paths are held to the measured per-path deltas
+on the same trained weights."""
+
+import json
+import os.path as osp
 
 import jax
 import numpy as np
@@ -21,6 +33,64 @@ from agrl_tpu.data.samplers import init_sampler
 from agrl_tpu.engine import create_train_state, make_train_step
 from agrl_tpu.models import init_model
 from agrl_tpu.optim import init_optim, per_step, warmup_multistep_lr
+
+# Golden numbers measured by tools/measure_convergence_band.py (committed
+# as tools/convergence_band.json): the EXACT fixture recipe below trained
+# across 4 seeds + one INJECTED loss mis-wiring (lambda_htri=0). The
+# asserts derive from that JSON — re-run the tool and commit its output
+# whenever the training recipe or the fixture geometry changes.
+BAND_PATH = osp.join(
+    osp.dirname(osp.dirname(osp.abspath(__file__))),
+    "tools", "convergence_band.json",
+)
+# Reproducibility margin for the PINNED seed-0 recipe: training is
+# seeded end-to-end (dataset seed 3, sampler/init/train rng 0,
+# num_workers=1) and jit-compiled, so re-runs on one substrate reproduce
+# the golden score near-exactly; 0.05 absorbs cross-version/threading
+# drift. The floor = golden − margin trips on any regression costing
+# ≥5 mAP points — the measured injected bug costs 16.4 (proof below).
+SUBSTRATE_MARGIN = 0.05
+
+
+def golden_band():
+    with open(BAND_PATH) as f:
+        band = json.load(f)
+    golden = band["seeds"]["0"]["evenly"]["mAP"]
+    floor = golden - SUBSTRATE_MARGIN
+    # golden-number ceiling: a run scoring ABOVE the band is also a
+    # change in behavior (leakage, eval bug, or a genuine improvement —
+    # re-run the band tool and commit the new JSON); capped below
+    # saturation so the fixture stays informative either way
+    ceil = min(0.995, golden + SUBSTRATE_MARGIN)
+    return band, floor, ceil
+
+
+def test_band_floor_trips_on_injected_bug():
+    """Sensitivity proof (VERDICT r04 item 2): the committed band JSON
+    contains the measured score of a KNOWN injected quality bug — the
+    triplet loss silently dropped (lambda_htri=0; the canonical loss
+    mis-wiring, reference train_vidreid_xent_htri.py:400-408) trained
+    with the exact pinned-seed fixture recipe. That score must fall
+    BELOW the derived regression floor, i.e. the floor assert in
+    test_discriminative_fixture_informative_band would have FAILED on
+    this bug. Also pins the floor above chance and documents WHY the
+    floor anchors on the pinned seed: the measured cross-seed spread
+    (σ=0.126) is wider than the injected bug's effect, so a mean±kσ
+    band could never trip on it."""
+    band, floor, ceil = golden_band()
+    injected = band["injected"]["no_htri"]["mAP"]
+    assert injected < floor, (
+        f"injected no_htri mAP {injected} does not trip the floor {floor}"
+    )
+    assert floor < band["seeds"]["0"]["evenly"]["mAP"] < ceil
+    assert floor > 0.5  # well above chance on the 16-id test set
+    # the design rationale, held as an invariant of the committed JSON:
+    # the injected bug sits ABOVE a mean−2σ cross-seed floor (and a
+    # legitimate seed converges below mean−σ), so a seed-band derivation
+    # could not catch this bug — the pinned-seed anchor can and does
+    s = band["summary"]
+    assert injected > s["evenly_mAP_mean"] - 2.0 * s["evenly_mAP_sigma"]
+    assert s["evenly_mAP_min"] < s["evenly_mAP_mean"] - s["evenly_mAP_sigma"]
 
 
 @pytest.mark.slow
@@ -87,8 +157,12 @@ def trained_on_discriminative(tmp_path_factory):
     from .fixture_cache import TRAIN_PATH_KEYS, disk_cached
 
     root = str(tmp_path_factory.mktemp("disc"))
+    # num_test_pids=16 (was 8): 8 test ids saturated on some seeds —
+    # 16 ids quadruple the shared-palette confuser pairs and double the
+    # query count, so every measured seed lands mid-band and the mAP
+    # granularity is fine enough to trip on (tools/convergence_band.json)
     materialize_mars_layout(
-        root, num_train_pids=6, num_test_pids=8, num_cams=2,
+        root, num_train_pids=6, num_test_pids=16, num_cams=2,
         tracklets_per_cam=2, frames_range=(6, 12),
         height=128, width=64, seed=3,
     )
@@ -129,7 +203,7 @@ def trained_on_discriminative(tmp_path_factory):
 
     variables = disk_cached(
         "disc_vmgn_tiny", TRAIN_PATH_KEYS,
-        tag="v1-pids6x8-s4h64w32-ep10-seed0", builder=build,
+        tag="v2-pids6x16-s4h64w32-ep10-seed0", builder=build,
     )
     return model, variables, ds, (S, H, W)
 
@@ -147,36 +221,47 @@ def _loaders(ds, sample, S, H, W):
 
 @pytest.mark.slow
 def test_discriminative_fixture_informative_band(trained_on_discriminative):
-    """The converged score sits in an INFORMATIVE band: well above chance
-    (the fixture is learnable) and below saturation (identities share
-    palette bands, cameras differ in gain — ties and near-misses exist).
-    The floor is the regression tripwire: a loss mis-wiring, BN-stat bug,
-    or attention off-by-one that costs a few mAP points fails here, which
-    the old 100%-Rank-1 fixtures could not detect."""
+    """The converged score sits inside the MEASURED golden band: the
+    pinned-seed golden value ± the substrate-reproducibility margin,
+    from tools/convergence_band.json (measured by
+    tools/measure_convergence_band.py on this exact recipe). The floor
+    is the regression tripwire — and its sensitivity is PROVEN, not
+    asserted: the committed JSON contains the score of an injected loss
+    mis-wiring (triplet term dropped), which lands 11+ points below the
+    floor (test_band_floor_trips_on_injected_bug), so a quality bug
+    costing ≥5 mAP points on the pinned recipe fails here."""
     from agrl_tpu.engine.evaluator import Evaluator
 
     model, variables, ds, (S, H, W) = trained_on_discriminative
+    band, floor, ceil = golden_band()
     q, g = _loaders(ds, "evenly", S, H, W)
     ev = Evaluator(model, test_sample="evenly")
     rank1, mAP = ev.evaluate(variables, q, g, dist_metric="cosine",
                              metric_protocol="mars")
-    print(f"[discriminative] evenly rank1={float(rank1):.3f} mAP={float(mAP):.3f}")
-    # regression floor + saturation ceiling (tuned on seeds 0/3; the band
-    # is wide enough for seed noise, tight enough to catch real quality
-    # bugs)
-    assert 0.55 < float(mAP) < 0.995, float(mAP)
-    assert float(rank1) >= 0.5, float(rank1)
+    print(f"[discriminative] evenly rank1={float(rank1):.3f} "
+          f"mAP={float(mAP):.3f} band=({floor:.3f}, {ceil:.3f})")
+    assert floor < float(mAP) < ceil, (float(mAP), floor, ceil)
+    # rank1 floor: the pinned seed's golden rank1 minus the same margin
+    # (the injected bug's rank1, 0.6875, sits below it)
+    r1_floor = band["seeds"]["0"]["evenly"]["rank1"] - SUBSTRATE_MARGIN
+    assert float(rank1) >= r1_floor, (float(rank1), r1_floor)
 
 
 @pytest.mark.slow
 def test_eval_paths_agree_in_informative_band(trained_on_discriminative):
     """packed dense + bucketed `all` on the same trained weights: both
-    must land in the same informative band as `evenly` (paths see
-    different frame subsets, so equality is not expected — but a padding/
-    masking/pooling bug in either packer now shifts a MID-RANGE score,
-    where it is visible, instead of a saturated one, where it was not)."""
+    must land within the MEASURED path delta (+ margin) of `evenly`
+    (tools/convergence_band.json holds the per-seed |dense-evenly| and
+    |all-evenly| maxima — paths see different frame subsets, so equality
+    is not expected, but a padding/masking/pooling bug in either packer
+    shifts a mid-range score past the measured spread)."""
     from agrl_tpu.engine.evaluator import Evaluator
 
+    band, floor, _ = golden_band()
+    tol = {
+        "dense": band["summary"]["dense_vs_evenly_max_delta"] + 0.05,
+        "all": band["summary"]["all_vs_evenly_max_delta"] + 0.05,
+    }
     model, variables, ds, (S, H, W) = trained_on_discriminative
     scores = {}
     for sample in ("evenly", "dense", "all"):
@@ -185,8 +270,8 @@ def test_eval_paths_agree_in_informative_band(trained_on_discriminative):
         _, mAP = ev.evaluate(variables, q, g, dist_metric="cosine",
                              metric_protocol="mars")
         scores[sample] = float(mAP)
-    print(f"[discriminative] eval-path mAPs: {scores}")
+    print(f"[discriminative] eval-path mAPs: {scores} tol={tol}")
     for sample, mAP in scores.items():
-        assert mAP > 0.55, (sample, scores)
-    assert abs(scores["dense"] - scores["evenly"]) < 0.2, scores
-    assert abs(scores["all"] - scores["evenly"]) < 0.2, scores
+        assert mAP > floor, (sample, scores, floor)
+    assert abs(scores["dense"] - scores["evenly"]) < tol["dense"], scores
+    assert abs(scores["all"] - scores["evenly"]) < tol["all"], scores

@@ -12,10 +12,17 @@ INJECTED-BUG variant per seed-0 weights:
                   reference loss wiring train_vidreid_xent_htri.py:400-408)
 
 Prints one JSON object with per-seed scores, the seed mean/sigma, the
-derived golden band (mean ± (2*sigma + margin)), the measured eval-path
-deltas, and the injected-bug scores — tests/test_convergence.py's asserts
-are set FROM this output (the JSON is committed alongside as
-tools/convergence_band.json).
+measured eval-path deltas, and the injected-bug scores — committed
+alongside as tools/convergence_band.json, from which
+tests/test_convergence.py derives its asserts. NOTE the design the
+measurement forced: the cross-seed spread (sigma=0.126; seed 4 converges
+to 0.627) is WIDER than the injected bug's effect (0.621), so a
+mean±k*sigma band can never be a tripwire. The test instead anchors on
+the PINNED seed-0 golden score (the fixture recipe is seeded end-to-end,
+so one substrate reproduces it near-exactly) minus a small
+substrate-reproducibility margin; the committed JSON carries the seed
+spread as evidence for why, and the injected score as the sensitivity
+proof.
 
 Run on the 8-virtual-device CPU rig (same substrate as the tests):
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
