@@ -789,8 +789,9 @@ def _export_by_probe(variables, template: dict, convert_fn):
     maps = _probe_entry_maps(convert_fn, template)
     # group claimants per flax path (template order) to resolve summed
     # emissions: forward computes leaf = sum_i T_i(torch[name_i]), so all
-    # but the LAST claimant keep their template values and the last gets
-    # the residual — the round trip then reproduces the leaf exactly.
+    # but the LAST claimant anchor at their template values and the last
+    # gets the residual — the round trip then reproduces the leaf exactly
+    # (all claimants count as `filled`: every one was actively resolved).
     claims: dict[tuple, list] = {}
     for name in template:
         for path, idx in maps.get(name, []):
@@ -811,7 +812,13 @@ def _export_by_probe(variables, template: dict, convert_fn):
             *others, (lname, lidx) = claimants
             residual = leaf.astype(np.float64).ravel()
             for name, idx in others:
-                residual -= _to_numpy(template[name]).ravel()[idx.ravel()]
+                tvals = _to_numpy(template[name]).ravel()[idx.ravel()]
+                residual -= tvals
+                # the anchor IS resolved (at its template value, so
+                # anchor + residual = the flax leaf exactly): report it
+                # filled, not kept — `kept` means "no flax counterpart"
+                # to callers (tools/export_torch.py refuses on surprises)
+                writes[name].append((idx.ravel(), tvals.astype(np.float32)))
             writes[lname].append((lidx.ravel(), residual.astype(np.float32)))
 
     out, filled, kept = {}, [], []
