@@ -61,6 +61,7 @@ def test_bucket_len():
         prev = b
 
 
+@pytest.mark.heavy
 def test_masked_forward_equals_unpadded(tiny):
     """Model-level: padding frames + frame_mask reproduces the unpadded
     feature to numerical precision (masked mean / graph rows / attention)."""
@@ -152,6 +153,7 @@ def test_bucketed_batching_preserves_order_and_features(tiny):
     assert list(pids) == [t % 3 for t in range(len(lengths))]
 
 
+@pytest.mark.heavy
 def test_bucketed_all_under_mesh(tiny):
     """The bucketed path shards its batches over the mesh's dp axis and
     matches the single-device result."""
@@ -168,6 +170,7 @@ def test_bucketed_all_under_mesh(tiny):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_evaluate_end_to_end_all_bucketed(tiny):
     """Full evaluate() through the device-ranking path with 'all'."""
     model, variables = tiny
@@ -234,6 +237,7 @@ def _masked_model_cases():
 
 @pytest.mark.parametrize("name,model,H,W", _masked_model_cases(),
                          ids=[c[0] for c in _masked_model_cases()])
+@pytest.mark.heavy
 def test_masked_forward_equals_unpadded_all_archs(name, model, H, W):
     """Every factory arch except msppn/msppgn implements the frame-mask
     contract (those two keep the dynamic path: split-major 3-scale
@@ -260,6 +264,7 @@ def _msppn_cases():
 
 @pytest.mark.parametrize("name,model", _msppn_cases(),
                          ids=[c[0] for c in _msppn_cases()])
+@pytest.mark.heavy
 def test_msppn_masked_forward_equals_unpadded(name, model):
     """msppn/msppgn vertices are SPLIT-MAJOR over 3 feature scales: the
     model owns its adjacency padding (pad_eval_adjacency scatters entries
@@ -287,6 +292,7 @@ def test_msppn_masked_forward_equals_unpadded(name, model):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_msppgn_bucketed_extract_equals_unbucketed():
     """Evaluator-level: the bucketed 'all' path routes msppgn adjacency
     padding through the model hook and matches per-tracklet forwards."""
@@ -315,6 +321,7 @@ def test_msppgn_bucketed_extract_equals_unbucketed():
     assert list(pids) == [t % 3 for t in range(len(lengths))]
 
 
+@pytest.mark.heavy
 def test_bucketed_extract_without_total_split_attr():
     """Archs that ignore the adjacency (no model.total_split) also run the
     bucketed 'all' path: the vertex count is inferred from the adjacency."""
@@ -368,6 +375,7 @@ def test_gsta_masked_forward_equals_unpadded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_msppn_bucketed_eval_ignores_graph_layout():
     """msppn never reads the adjacency, so the bucketed 'all' path must run
     with ANY data-side graph layout — e.g. a graph built WITHOUT
@@ -405,6 +413,7 @@ def test_msppn_bucketed_eval_ignores_graph_layout():
     assert list(pids) == [t % 3 for t in range(len(lengths))]
 
 
+@pytest.mark.heavy
 def test_msppgn_learned_graph_bucketed_ignores_layout():
     """msppgn with learn_graph and no pose never reads the adjacency either
     — its pad hook must not assert the split-major layout."""

@@ -39,6 +39,7 @@ def setup():
 
 
 @pytest.mark.parametrize("pool", ["avg", "max"])
+@pytest.mark.heavy
 def test_packed_dense_matches_per_tracklet_loop(setup, pool):
     model, variables = setup
     rng = np.random.RandomState(0)

@@ -382,6 +382,7 @@ def test_losses_vs_reference_classes():
     np.testing.assert_allclose(got_h, want_h, rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_training_objective_vs_reference_end_to_end():
     """Same weights, same batch: the FULL training objective (xent + htri
     DeepSupervision over the vmgn heads, reference train()
@@ -450,6 +451,7 @@ def test_training_objective_vs_reference_end_to_end():
     np.testing.assert_allclose(got_htri, want_htri, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_training_gradients_vs_reference_end_to_end():
     """Same weights, same batch: d(loss)/d(params) of the FULL vmgn
     training objective must match the reference's autograd, leaf for leaf.

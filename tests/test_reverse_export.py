@@ -207,6 +207,7 @@ def test_legacy_arch_reverse_empty_template():
     assert state == {} and filled == [] and kept == []
 
 
+@pytest.mark.heavy
 def test_export_torch_tool_end_to_end(tmp_path, ref_vmgn_10):
     """tools/export_torch.py: msgpack checkpoint + torch-named template in
     -> reference-loadable .pth.tar AND torch-free .npz out, matching the

@@ -1,6 +1,8 @@
 """Multi-chip evaluation: gallery-sharded distmat through the Evaluator
 equals the single-device result (8 virtual CPU devices)."""
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -11,6 +13,7 @@ from agrl_tpu.models import init_params, init_model
 from agrl_tpu.parallel import make_mesh
 
 
+@pytest.mark.heavy
 def test_evaluator_sharded_vs_single(tmp_path):
     ds = init_vidreid_dataset(
         "synthetic", root=str(tmp_path / "d"), num_pids=3, tracklets_per_pid=2,
@@ -45,6 +48,7 @@ def test_evaluator_sharded_vs_single(tmp_path):
     np.testing.assert_allclose(map_single, map_dev, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_evaluator_max_pool_dense(tmp_path):
     """dense sampling with --pool max runs and pools per tracklet."""
     ds = init_vidreid_dataset(
@@ -64,6 +68,7 @@ def test_evaluator_max_pool_dense(tmp_path):
     assert 0.0 <= float(mAP) <= 1.0
 
 
+@pytest.mark.heavy
 def test_mesh_sharded_extraction_matches_single(tmp_path):
     """Batch-sharded ('dp') feature extraction — incl. a ragged tail batch
     padded to the dp multiple — equals single-device extraction, and the
@@ -97,6 +102,7 @@ def test_mesh_sharded_extraction_matches_single(tmp_path):
     np.testing.assert_allclose(float(map_m), float(map_s), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_evaluator_rerank_device_matches_host(tmp_path):
     """--re-ranking through the device path (ops/rerank.py) equals the
     host k-reciprocal implementation end to end."""

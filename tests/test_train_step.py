@@ -1,6 +1,8 @@
 """Training-step tests: loss decreases on a tiny overfit problem, and the
 full step runs sharded over an 8-device dp/mp mesh (virtual CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,7 @@ def make_batch(rng, B=8, S=8, H=32, W=32, total_split=7, num_pids=4):
     return x, pids, adj
 
 
+@pytest.mark.heavy
 def test_single_head_arch_trains():
     """Regression: archs returning bare (y, f) arrays (not head lists)
     must pass through the train step (gsta/res50tp/etc.)."""
@@ -37,6 +40,7 @@ def test_single_head_arch_trains():
     assert 0.0 <= float(metrics["top1"]) <= 1.0
 
 
+@pytest.mark.heavy
 def test_loss_decreases_single_device():
     model = tiny_vmgn()
     tx = init_optim("adam", 1e-3, weight_decay=0.0)
@@ -57,6 +61,7 @@ def test_loss_decreases_single_device():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.heavy
 def test_train_step_on_8dev_mesh():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(dp=4, mp=2)
@@ -87,6 +92,7 @@ def test_train_step_on_8dev_mesh():
     assert np.isfinite(float(metrics_r["loss"]))
 
 
+@pytest.mark.heavy
 def test_dp_sharded_matches_replicated():
     """The sharded step must compute the same numbers as single-device."""
     model = tiny_vmgn(num_gb=1)
@@ -114,6 +120,7 @@ def test_dp_sharded_matches_replicated():
     )
 
 
+@pytest.mark.heavy
 def test_full_state_mesh_placement_matches_and_sticks():
     """The CLI's mesh placement (parallel.place_state — the SAME helper
     the CLI and dryrun call): wide kernels must actually shard over 'mp',
@@ -218,6 +225,7 @@ def test_mesh_placement_handles_every_optimizer_state():
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(updates))
 
 
+@pytest.mark.heavy
 def test_bf16_train_step_matches_f32_and_stays_finite():
     """Mixed-precision (--bf16-train) guard: the bf16-backbone train step
     must produce finite losses tracking the f32 step within bf16 noise
@@ -260,6 +268,7 @@ def test_bf16_train_step_matches_f32_and_stays_finite():
     )
 
 
+@pytest.mark.heavy
 def test_remat_step_matches_plain_step():
     """--remat must change memory behavior only: with identical state,
     batch and rng, each policy's updated params and metrics equal the
